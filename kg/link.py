@@ -1,0 +1,87 @@
+"""K3 alias candidate generation + K4 embedding cosine re-rank.
+
+K3 (BASELINE.json:6 "alias-dictionary candidate generation via
+broadcast hash join"): the alias dictionary is orders of magnitude
+smaller than the mentions table, so the join MUST be a broadcast hash
+join — no shuffle of the 10^12-row mention side. Enforced with an
+explicit ``F.broadcast`` hint (AQE would usually pick it, the hint
+makes it a guarantee).
+
+K4 (BASELINE.json:6 "embedding cosine re-rank"): mention-context
+embeddings come from a deterministic hashed char-3-gram encoder
+(vectorized pandas UDF); candidate entity vectors join in (broadcast
+for dictionary-sized entity sets; flip to shuffle join via
+``broadcast_entities=False`` when the KB is huge). The cosine itself
+is a **pure Catalyst expression** (zip_with + aggregate) — no Python
+in the hot path — and top-k is a window row_number with a
+deterministic (cosine desc, entity_id asc) tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+from kg.ner import vocab as V
+
+
+def candidate_gen(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """K3: mentions x broadcast(aliases) on lowercase surface."""
+    return mentions.join(
+        F.broadcast(aliases),
+        F.lower(mentions["surface"]) == aliases["alias"],
+        "inner",
+    )
+
+
+@pandas_udf(ArrayType(FloatType()))
+def _surface_embedding_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    cache: dict[str, list[float]] = {}
+    for s in it:
+        out = []
+        for surf in s:
+            v = cache.get(surf)
+            if v is None:
+                v = [float(x) for x in V.surface_embedding(surf)]
+                cache[surf] = v
+            out.append(v)
+        yield pd.Series(out)
+
+
+def cosine_expr(a: str, b: str):
+    """UDF-free cosine for L2-normalized array<float> columns:
+    dot product via zip_with + aggregate (stays in codegen)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def rerank(
+    candidates: DataFrame,
+    entity_vecs: DataFrame,
+    k: int = 1,
+    broadcast_entities: bool = True,
+) -> DataFrame:
+    """K4: cosine(mention-context vec, entity vec), keep top-k."""
+    ev = F.broadcast(entity_vecs) if broadcast_entities else entity_vecs
+    with_vec = candidates.withColumn(
+        "mention_vec", _surface_embedding_udf(F.col("surface"))
+    ).join(ev, "entity_id", "inner")
+    scored = with_vec.withColumn(
+        "cosine", cosine_expr("mention_vec", "embedding")
+    ).drop("mention_vec", "embedding")
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("cosine"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,252 @@
+"""End-to-end KG pipeline: K1..K8 composed, with X1 skew salting,
+X2 checkpoint/resume orchestration, and X3 per-partition lineage +
+metrics tables (BASELINE.json:6,14).
+
+Dataflow (every stage boundary is a materialized, resumable table
+when run through the Orchestrator):
+
+    pages --K1--> text_extracted --M2/M3--> sentences
+          --M4..M7--> mentions --K3--> candidates --K4--> linked
+          --K5--> pairs --K6--> triples_raw
+    aliases --K7--> components
+    triples_raw x components --K8--> triples (partitioned by pred)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg import io
+from kg.extract import html_to_text
+from kg.graph import connected_components, same_as_edges
+from kg.link import candidate_gen, rerank
+from kg.ner.bio import bio_to_mentions
+from kg.ner.model import tag_sentences
+from kg.ner.tokenize import split_sentences, tokenize_words
+from kg.relations import extract_relations, pair_gen
+
+# ----------------------------------------------------------- X1 salting
+
+
+def salt_repartition(
+    df: DataFrame, key_col: str, buckets: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """X1: deterministic salted repartition for skewed hot keys
+    (BASELINE.json:6 "salted repartitioning for skewed hot domains").
+
+    Salt = xxhash64 of the full row key (NOT rand(): reruns must place
+    rows identically for checkpoint/resume determinism). A hot host
+    holding 30% of urls spreads over ``buckets`` partitions instead of
+    melting one executor during the UDF-heavy NER stages.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    )
+    if num_partitions:
+        out = salted.repartition(num_partitions, F.col(key_col), F.col("_salt"))
+    else:
+        out = salted.repartition(F.col(key_col), F.col("_salt"))
+    return out.drop("_salt")
+
+
+def host_of(url_col: str = "url"):
+    return F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+
+
+# --------------------------------------------------------- stage bodies
+
+
+def stage_extract(pages: DataFrame) -> DataFrame:
+    """K1 (+X1): salt by host (skew!), then Arrow-UDF extraction.
+
+    Projection before the UDF is explicit: only (url, warc_ts, lang,
+    html) enter; `html` is dropped on the other side."""
+    pages = pages.select("url", "warc_ts", "lang", "html").withColumn(
+        "_host", host_of()
+    )
+    pages = salt_repartition(pages, "_host", buckets=16).drop("_host")
+    return html_to_text(pages)
+
+
+def stage_sentences(text_extracted: DataFrame) -> DataFrame:
+    """M2+M3: sentence split + word tokenize (pure Catalyst)."""
+    return tokenize_words(split_sentences(text_extracted.select("url", "text")))
+
+
+def stage_mentions(sentences: DataFrame) -> DataFrame:
+    """K2 core: batched NER inference (M4-M6) + BIO decode (M7)."""
+    tagged = tag_sentences(sentences.select("url", "sent_id", "words"))
+    return bio_to_mentions(tagged)
+
+
+def stage_linked(
+    mentions: DataFrame, aliases: DataFrame, entity_vecs: DataFrame, k: int = 1
+) -> DataFrame:
+    """K3 broadcast candidate gen + K4 cosine re-rank (top-k)."""
+    return rerank(candidate_gen(mentions, aliases), entity_vecs, k=k)
+
+
+def stage_triples_raw(linked: DataFrame, sentences: DataFrame) -> DataFrame:
+    """K5 pair gen + K6 relation rules."""
+    return extract_relations(pair_gen(linked), sentences)
+
+
+def stage_components(aliases: DataFrame, registry_ids: DataFrame | None = None) -> DataFrame:
+    """K7: same-as edges -> connected components."""
+    return connected_components(same_as_edges(aliases), vertices=registry_ids)
+
+
+def stage_triples(triples_raw: DataFrame, components: DataFrame) -> DataFrame:
+    """K8: entity ids -> component ids (two broadcast joins against the
+    component map, which is KB-sized, not corpus-sized), dedup, keep
+    provenance."""
+    comp = F.broadcast(components)
+    subj_map = comp.select(
+        F.col("id").alias("subj_entity"), F.col("component").alias("subj")
+    )
+    obj_map = comp.select(
+        F.col("id").alias("obj_entity"), F.col("component").alias("obj")
+    )
+    return (
+        triples_raw.join(subj_map, "subj_entity", "left")
+        .join(obj_map, "obj_entity", "left")
+        .withColumn("subj", F.coalesce("subj", "subj_entity"))
+        .withColumn("obj", F.coalesce("obj", "obj_entity"))
+        .select("subj", "pred", "obj", "url", "sent_id", "confidence")
+        .dropDuplicates(["subj", "pred", "obj", "url", "sent_id"])
+    )
+
+
+def distinct_triples(triples: DataFrame) -> DataFrame:
+    """The KG itself: distinct (subj, pred, obj)."""
+    return triples.select("subj", "pred", "obj").distinct()
+
+
+# ------------------------------------------------- X2/X3 orchestration
+
+
+class Orchestrator:
+    """X2 checkpoint/resume + X3 lineage/metrics.
+
+    Each stage writes its output table under ``root/<stage>`` plus a
+    per-partition metrics table under ``root/_metrics/<stage>``. On
+    rerun, a stage whose output exists (parquet _SUCCESS marker) is
+    loaded instead of recomputed — the driver is stateless across
+    resumes (SURVEY.md §3.2)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log: list[dict] = []
+
+    def _out(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._out(name), "_SUCCESS"))
+
+    def _write_metrics(self, name: str, df: DataFrame, wall_ms: float) -> None:
+        """X3: per-partition row counts + content checksum, plus stage
+        wall time — all computed relationally (one extra job)."""
+        metrics = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("output_rows"),
+                # XOR-fold of row hashes: order-insensitive, can't
+                # overflow (ANSI mode), stable at any row count
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias(
+                    "checksum"
+                ),
+            )
+            .withColumn("stage", F.lit(name))
+            .withColumn("wall_ms", F.lit(float(wall_ms)))
+        )
+        io.write_table(metrics, os.path.join(self.root, "_metrics", name))
+
+    def run_stage(
+        self,
+        name: str,
+        fn,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        path = self._out(name)
+        if self._done(name):
+            self.log.append({"stage": name, "skipped": True})
+            return io.read_table(self.spark, path)
+        t0 = time.monotonic()
+        df = fn()
+        io.write_table(df, path, partition_by=partition_by)
+        wall_ms = (time.monotonic() - t0) * 1000
+        out = io.read_table(self.spark, path)
+        self._write_metrics(name, out, wall_ms)
+        self.log.append({"stage": name, "skipped": False, "wall_ms": wall_ms})
+        return out
+
+    def metrics(self) -> DataFrame | None:
+        base = os.path.join(self.root, "_metrics")
+        if not os.path.isdir(base):
+            return None
+        return io.read_table(self.spark, os.path.join(base, "*"))
+
+
+# ------------------------------------------------------------ pipeline
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    entity_vecs: DataFrame,
+    checkpoint_root: str | None = None,
+) -> dict[str, DataFrame]:
+    """Full K1..K8. With ``checkpoint_root`` every stage is a
+    materialized resumable table; without, it is one lazy plan."""
+    if checkpoint_root:
+        orch = Orchestrator(spark, checkpoint_root)
+        text = orch.run_stage("text_extracted", lambda: stage_extract(pages))
+        sents = orch.run_stage("sentences", lambda: stage_sentences(text))
+        mentions = orch.run_stage("mentions", lambda: stage_mentions(sents))
+        linked = orch.run_stage(
+            "linked", lambda: stage_linked(mentions, aliases, entity_vecs)
+        )
+        traw = orch.run_stage(
+            "triples_raw", lambda: stage_triples_raw(linked, sents)
+        )
+        comps = orch.run_stage("components", lambda: stage_components(aliases))
+        triples = orch.run_stage(
+            "triples",
+            lambda: stage_triples(traw, comps),
+            partition_by=["pred"],
+        )
+        result = {
+            "text_extracted": text,
+            "sentences": sents,
+            "mentions": mentions,
+            "linked": linked,
+            "triples_raw": traw,
+            "components": comps,
+            "triples": triples,
+            "_orchestrator": orch,
+        }
+    else:
+        text = stage_extract(pages)
+        sents = stage_sentences(text)
+        mentions = stage_mentions(sents)
+        linked = stage_linked(mentions, aliases, entity_vecs)
+        traw = stage_triples_raw(linked, sents)
+        comps = stage_components(aliases)
+        triples = stage_triples(traw, comps)
+        result = {
+            "text_extracted": text,
+            "sentences": sents,
+            "mentions": mentions,
+            "linked": linked,
+            "triples_raw": traw,
+            "components": comps,
+            "triples": triples,
+        }
+    return result

@@ -1,0 +1,66 @@
+"""SparkSession builder with the engine's standard configs.
+
+Tuned for correctness-at-scale first (SURVEY.md §4): AQE on with skew
+join splitting, Arrow enabled for every pandas-UDF boundary, UTC
+session timezone so parquet timestamps compare cleanly against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One place to change shuffle sizing. local[N] tests override this;
+# a real cluster would set ~2-3x total cores (AQE coalesces down).
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    app_name: str = "kg-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    all cores) so bench/driver runs pick up the sandbox parallelism.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- shuffle sizing; AQE coalesces small partitions at runtime
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # -- adaptive execution: runtime re-plan, skew-join split.
+        #    Hot-domain skew beyond what AQE fixes is handled by
+        #    explicit salting (kg.pipeline.salt_repartition).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- Arrow everywhere Python touches data
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big Arrow batches: per-batch overhead dominates small ones
+        # (measured 5-10x slowdown at 4096 rows/batch in this sandbox)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # -- deterministic timestamp semantics vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- keep plans comparable / avoid tiny-file pathologies
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "8g"))
+        # quieter UI-less runs in the sandbox
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
