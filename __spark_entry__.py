@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG pipeline (SURVEY.md §3.2): pages
+derived from the sf0.001 `documents` fixture -> K1 extract -> NER
+mentions -> broadcast alias linking -> cosine re-rank -> co-sentence
+relation extraction -> connected-component canonicalization ->
+(subj, pred, obj) triples.
+
+`queries()` exposes every implemented operator from SURVEY.md §2;
+`oracle_sql()` gives the DuckDB-equivalent ANSI SQL for the
+SQL-expressible ones (§2.C). KG-pipeline / NER operators are
+non-SQL-expressible (Arrow-UDF model inference, iterative
+convergence) and get rows-only checks, with their real correctness
+gates in tests/ (frozen single-node oracles, gold-fixture P/R).
 """
 
 from __future__ import annotations
@@ -12,27 +19,82 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg import fixtures as FX
+    from kg.pipeline import run_pipeline
+
+    pages = FX.pages_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, pages, FX.aliases_df(spark), FX.entity_vecs_df(spark)
+    )
+    return res["triples"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF0001)
+
+
+# ------------------------------------------------------------------ KG
+# non-SQL-expressible operators (rows-only driver check; pytest holds
+# the real gates)
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg import fixtures as FX
+    from kg.pipeline import stage_extract, stage_mentions, stage_sentences
+
+    pages = FX.pages_from_documents(spark, sf_dir)
+    return stage_mentions(stage_sentences(stage_extract(pages)))
+
+
+def _kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg import fixtures as FX
+    from kg.pipeline import (
+        stage_extract,
+        stage_linked,
+        stage_mentions,
+        stage_sentences,
+    )
+
+    pages = FX.pages_from_documents(spark, sf_dir)
+    mentions = stage_mentions(stage_sentences(stage_extract(pages)))
+    return stage_linked(
+        mentions, FX.aliases_df(spark), FX.entity_vecs_df(spark)
+    )
+
+
+def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg import fixtures as FX
+    from kg.pipeline import stage_components
+
+    return stage_components(FX.aliases_df(spark))
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from kg import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q["kg_mentions"] = _kg_mentions
+    q["kg_linked"] = _kg_linked
+    q["kg_components"] = _kg_components
+    q["kg_triples"] = _kg_triples
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins for the SQL-expressible queries."""
+    from kg import relational
+
+    return dict(relational.ORACLES)

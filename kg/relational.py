@@ -1,0 +1,705 @@
+"""§2.C relational/dataflow surface — the driver's query contract.
+
+Each entry registers a (Spark DataFrame implementation, ANSI-SQL
+DuckDB oracle) pair under one name; `__spark_entry__.queries()` /
+`oracle_sql()` expose the registry. The reference has none of these
+as operators (it is a model pipeline — SURVEY.md §2.D); they are the
+substrate the KG pipeline compiles onto, expressed with built-in
+Spark operators only (zero Python in any of these plans).
+
+Numeric-determinism policy (so order-insensitive value hashes match
+DuckDB bit-for-bit):
+  * money sums go through exact integer cents:
+    CAST(ROUND(x*100) AS BIGINT) summed as bigint;
+  * averages/ratios divide exact integers as double and ROUND(.,4)
+    (identical IEEE expression both sides);
+  * raw stored doubles pass through untouched (bit-identical);
+  * timestamps are emitted as strings via date_format/strftime;
+  * every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: str):
+    """Exact integer cents of a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# =====================================================================
+# scans / filters / aggregation
+# =====================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*)*100), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*)*100), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan -> filter -> hash agg.
+    Catalyst does partial+final aggregation; the shipdate filter and
+    the 5-column projection push into the parquet scan."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+            F.round(
+                F.sum(cents("l_quantity")).cast("double")
+                / (F.count(F.lit(1)) * 100),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(cents("l_discount")).cast("double")
+                / (F.count(F.lit(1)) * 100),
+                4,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_filter",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
+           AS revenue_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped predicate pushdown demo: every filter reaches
+    the parquet scan (PushedFilters), revenue in exact integer
+    micro-units (cents*cents)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * cents("l_discount")).alias(
+                "revenue_micro"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "price_c")
+
+
+@query(
+    "q_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_c"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "total_c"
+    )
+
+
+@query(
+    "q_distinct_counts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# joins
+# =====================================================================
+
+
+@query(
+    "q_broadcast_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join: customer is broadcast (no shuffle of orders)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_c"),
+        )
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact-fact shuffle join (lineitem-orders)
+    with every dimension broadcast; Catalyst/AQE reorders and DPP
+    prunes on the region filter."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts_sold
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    l = T(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        p.join(l, p["p_partkey"] == l["l_partkey"], "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts_sold"))
+    )
+
+
+@query(
+    "q_outer_join_histogram",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q_outer_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count=0 bucket)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q_range_join_events",
+    """
+    SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_followups
+    FROM events p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: equi on user_id + range residual on ts (the
+    equi key bounds the shuffle; the range predicate is a residual
+    filter, NOT a cross join)."""
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    e = ev.select(F.col("user_id"), F.col("ts").alias("e_ts"))
+    return (
+        p.join(
+            e,
+            ["user_id"],
+        )
+        .filter(
+            (F.col("e_ts") > F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+# =====================================================================
+# windows
+# =====================================================================
+
+
+@query(
+    "q_window_topk_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k via row_number (WindowGroupLimit pushes the limit
+    below the shuffle in Spark 4)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            cents("o_totalprice").alias("price_c"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q_window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_total_c
+    FROM orders
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents("o_totalprice")).over(w).alias("run_total_c"),
+    )
+
+
+@query(
+    "q_lag_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s), 4) AS avg_gap_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    """,
+)
+def q_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.sum("gap_s").cast("double") / F.count("gap_s"), 4).alias(
+            "avg_gap_s"
+        ),
+    )
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch): lag + 30-min threshold."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = ev.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flags.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_asof_prev_purchase",
+    """
+    SELECT event_id, user_id, prev_purchase_value FROM (
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_purchase_value
+      FROM events) t
+    WHERE event_type = 'click'
+    """,
+)
+def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window: each click picks up the most
+    recent prior purchase value of the same user (union+last ignore
+    nulls — the scalable as-of pattern, no per-key loop)."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("prev_purchase_value"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "prev_purchase_value")
+    )
+
+
+# =====================================================================
+# set ops / union
+# =====================================================================
+
+
+@query(
+    "q_set_except",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in 1996 but not 1997 (EXCEPT distinct)."""
+    o = T(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.subtract(y97)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "q_union_mixed",
+    """
+    SELECT 'big_balance' AS bucket, c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT 'auto_segment' AS bucket, c_custkey, NULL AS c_acctbal
+    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def q_union_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with missing columns (null-filled slice)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000).select(
+        F.lit("big_balance").alias("bucket"), "c_custkey", "c_acctbal"
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.lit("auto_segment").alias("bucket"), "c_custkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# =====================================================================
+# events: JSON, dates
+# =====================================================================
+
+
+@query(
+    "q_events_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (Spark: get_json_object; oracle uses a
+    regexp so DuckDB needs no JSON extension)."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "q_events_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# documents / strings
+# =====================================================================
+
+
+@query(
+    "q_doc_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / SUM(CAST(len(string_split(text, ' ')) AS BIGINT)), 4)
+             AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / quality-stat shape over the documents table."""
+    d = T(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum(ntok), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_top_docs",
+    """
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+)
+def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (no full sort at scale)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: content-hash distinct counts per source
+    (the groupBy-hash shape of exact dedup at 100 TB)."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
