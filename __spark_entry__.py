@@ -82,7 +82,16 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from kg import relational
+    # importing these modules registers their entries in the shared
+    # kg.relational.QUERIES/ORACLES registry
+    from kg import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        textstats,
+    )
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -95,6 +104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins for the SQL-expressible queries."""
-    from kg import relational
+    from kg import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        textstats,
+    )
 
     return dict(relational.ORACLES)

@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over `documents(doc_id, text, lang, source, n_chars)`:
+
+  * exact          — content-hash groupBy (kg.relational.q_dedup_exact)
+  * n-gram Jaccard — shingle inverted-index join (NOT pairwise compare:
+                     the self-join is on the shingle, so cost is
+                     sum(posting-list^2) per shingle, the standard
+                     web-scale shape), SQL-expressible -> oracle
+  * MinHash + LSH  — k seeded linear permutations over shingle hashes,
+                     banded signatures, bucket join for candidates,
+                     exact-Jaccard verification of candidates
+  * SimHash        — 64-bit token-hash sign aggregate in a vectorized
+                     pandas UDF (the 100 TB path: one Arrow pass, no
+                     explode of tokens x bits)
+
+All shuffles key on shingle / band / bucket — never on the document
+pair space.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from kg.relational import T, query
+
+MERSENNE_P = (1 << 61) - 1
+HASH_DOMAIN = 1 << 31
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, shingle (distinct word n-grams) — pure Catalyst."""
+    tokens = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return (
+        docs.filter(F.size(tokens) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, block_col: str = "source"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
+    blocked by ``block_col`` to bound posting lists (at CC scale the
+    block would be an LSH band — see minhash_lsh_pairs)."""
+    sh = shingles_df(docs.select("doc_id", block_col, "text"), n).join(
+        docs.select("doc_id", block_col), "doc_id"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col(block_col).alias("blk"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col(block_col).alias("blk"), "shingle"
+    )
+    common = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("ca"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("cb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "ca", "cb", "jaccard")
+    )
+
+
+def _permutation_params(k: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (i, int(rng.randint(1, HASH_DOMAIN)), int(rng.randint(0, HASH_DOMAIN)))
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, k: int = 32, seed: int = 42
+) -> DataFrame:
+    """doc_id, sig: array<long>[k] — min over seeded linear hashes of
+    shingle hashes. Shingle hash domain 2^31 keeps a*h+b inside int64
+    (ANSI-safe). One shuffle: groupBy(doc_id, perm)."""
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(
+        _permutation_params(k, seed), "perm int, a long, b long"
+    )
+    sh = shingles_df(docs, n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(HASH_DOMAIN))
+    )
+    mins = (
+        sh.crossJoin(F.broadcast(perms))
+        .withColumn(
+            "ph", F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MERSENNE_P))
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("ph").alias("mh"))
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s")
+        )
+        .select("doc_id", F.col("s.mh").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup: signatures -> banded bucket join ->
+    candidate pairs -> exact-Jaccard verification. Returns verified
+    pairs with both the exact jaccard and the signature estimate."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, n, k, seed)
+    band_ids = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.struct(
+                bidx.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                bidx * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            ),
+        )
+    )
+    buckets = sigs.select("doc_id", band_ids.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    l = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact jaccard (semi-join prunes shingles
+    # to candidate docs only)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    sh = shingles_df(docs, n).join(cand_docs, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        candidates.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("ca")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("cb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0)).cast("double")
+                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("common"), F.lit(0))),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@pandas_udf(LongType())
+def simhash64_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash of whitespace tokens, one Arrow pass (numpy
+    bit-unpack; no per-row Python beyond the tokenize)."""
+    import hashlib
+
+    def h64(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+        )
+
+    for texts in it:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.array([h64(x) for x in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            sim = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            out[i] = np.bitwise_or.reduce(sim).astype(np.int64)
+        yield pd.Series(out)
+
+
+def simhash_buckets(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """SimHash per doc + bucket histogram by top bits (near-dups share
+    buckets; hamming verification would join within buckets)."""
+    with_sim = docs.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+    )
+    return with_sim.withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.4, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by ``block_col``
+    (IVF-style coarse cell; full cross product never materializes)."""
+    from kg.link import cosine_expr
+
+    e = embeddings.select(
+        "vec_id", block_col, F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col(block_col).alias("blk"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col(block_col).alias("blk"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(dot / (norm("va") * norm("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, source, t,
+             unnest(generate_series(1, len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.common AS BIGINT) AS common,
+           CAST(sa.n_sh AS BIGINT) AS ca,
+           CAST(sb.n_sh AS BIGINT) AS cb,
+           ROUND(CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common), 4)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 not in DuckDB; exact
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # jaccard parity of LSH survivors is gated in tests/test_dedup.py
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash")  # rows-only: md5-bit math not SQL-practical
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_buckets(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(T(spark, sf_dir, "embeddings"))

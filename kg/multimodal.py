@@ -1,0 +1,164 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads
+with typed metadata, processed via Arrow-batched `mapInPandas`.
+
+The container has no image/audio codecs (SURVEY.md §0), so the
+*decode* kernels parse a deterministic fake header (`KGIM`/`KGAU`
+magic + packed dims) — clearly marked stubs — while everything
+Spark-side is real and tested: binary schema, partition-preserving
+mapInPandas plumbing, batch shapes, byte-level feature extraction
+(histogram features ARE computed from the real payload bytes), and
+frame-sampling offsets. Swapping in PIL/ffmpeg is a kernel-local
+change.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.relational import query
+
+ASSETS_SCHEMA = "asset_id long, kind string, payload binary, meta string"
+DECODED_SCHEMA = (
+    "asset_id long, kind string, width int, height int, n_frames int, "
+    "payload_bytes long"
+)
+FEATURES_SCHEMA = "asset_id long, features array<double>"
+FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_offset long"
+
+_MAGIC = {"image": b"KGIM", "audio": b"KGAU", "video": b"KGVD"}
+
+
+def _fake_payload(i: int, kind: str) -> bytes:
+    """Deterministic fake asset: magic + packed (w, h, frames) + body
+    bytes derived from the asset id."""
+    w, h = 16 + (i * 7) % 48, 16 + (i * 13) % 48
+    frames = 1 if kind == "image" else 1 + i % 24
+    body = bytes((i * 31 + j * 17) % 256 for j in range(64 + (i % 5) * 32))
+    return _MAGIC[kind] + struct.pack("<HHH", w, h, frames) + body
+
+
+def gen_assets(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    kinds = ["image", "audio", "video"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "kind": kind,
+                        "payload": _fake_payload(i, kind),
+                        "meta": f'{{"source": "synthetic", "seed": {seed}}}',
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, numPartitions=max(1, n // 64)).mapInPandas(
+        gen, ASSETS_SCHEMA
+    )
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: replace with PIL/soundfile/ffmpeg in production.
+    Raises on unknown magic, mirroring a real codec error path."""
+    magic, rest = payload[:4], payload[4:10]
+    if magic not in _MAGIC.values():
+        raise NotImplementedError(
+            "real codec decode not available in this environment; "
+            "payload lacks the synthetic KG?? header"
+        )
+    w, h, frames = struct.unpack("<HHH", rest)
+    return w, h, frames
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Header decode over mapInPandas: binary in, typed metadata out.
+    Projection keeps only (asset_id, kind, payload) into the UDF."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            w, h, nf, nb = [], [], [], []
+            for p in b["payload"]:
+                ww, hh, ff = _parse_header(bytes(p))
+                w.append(ww)
+                h.append(hh)
+                nf.append(ff)
+                nb.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "asset_id": b["asset_id"],
+                    "kind": b["kind"],
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                    "payload_bytes": nb,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def byte_histogram_features(assets: DataFrame, bins: int = 8) -> DataFrame:
+    """Real feature extraction from payload bytes: normalized
+    ``bins``-bucket byte histogram (numpy over the Arrow batch)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for p in b["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+                total = hist.sum()
+                out.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"asset_id": b["asset_id"], "features": out})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        feats, FEATURES_SCHEMA
+    )
+
+
+def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling plumbing for video payloads: emits (asset_id,
+    frame_idx, frame_offset) rows for every ``every``-th frame. The
+    offset math is real; actual pixel decode is the stubbed kernel."""
+    decoded = decode_assets(assets.filter(F.col("kind") == "video"))
+    idx = F.explode(
+        F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every)
+        )
+    ).alias("frame_idx")
+    return decoded.select("asset_id", idx, F.col("n_frames")).select(
+        "asset_id",
+        "frame_idx",
+        # header is 10 bytes; fake fixed frame stride of 64 bytes
+        (F.lit(10) + F.col("frame_idx").cast("long") * 64).alias("frame_offset"),
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query("multimodal_decode")  # rows-only: binary fixture is engine-side
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_assets(gen_assets(spark, 200))
+
+
+@query("multimodal_features")  # rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_histogram_features(gen_assets(spark, 200))
+
+
+@query("multimodal_frame_sample")  # rows-only
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(gen_assets(spark, 200))

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+  * brute-force cosine top-k — the correctness baseline: broadcast the
+    (small) query set against the corpus, UDF-free zip_with/aggregate
+    dot product, per-query window top-k. Scales linearly in corpus
+    size with zero shuffle of the corpus (queries broadcast).
+  * LSH-bucketed ANN — the 10^12-row path: seeded random-hyperplane
+    sign buckets (L tables of k bits) computed in one vectorized
+    pandas UDF; candidates = bucket-join; exact cosine only on
+    candidates. Recall vs brute force is gated in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from kg.relational import T, query
+
+EMBED_DIM = 64
+
+
+def _cosine(va: str, vb: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(va) * norm(vb))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """queries(query_id, qv) x corpus(vec_id, v) -> top-k by cosine.
+
+    Deterministic ranking: ties broken on rounded cosine then vec_id,
+    so the result is stable across engines and partitionings."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_cosine("qv", "v"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(n_tables: int = 8, n_bits: int = 12, dim: int = EMBED_DIM, seed: int = 42):
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_ids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            M = np.stack(vecs.to_numpy())  # [n, dim] float
+            # [T, n, bits]: sign bits of plane projections
+            proj = np.einsum("tbd,nd->tnb", planes, M.astype(np.float64))
+            bits = (proj > 0).astype(np.int64)
+            codes = bits @ weights  # [T, n]
+            # offset buckets by table index so tables don't collide
+            codes = codes + (np.arange(n_tables)[:, None] << n_bits)
+            yield pd.Series(list(codes.T))
+
+    return bucket_ids
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 12,
+) -> DataFrame:
+    """ANN: bucket-join candidates (any shared table bucket) + exact
+    cosine re-rank. Shuffle keys on bucket ids, never the full corpus
+    cross product."""
+    bucket = lsh_bucket_udf(n_tables, n_bits)
+    cb = corpus.withColumn("bkt", F.explode(bucket(F.col("v")))).select(
+        "vec_id", "v", "bkt"
+    )
+    qb = queries.withColumn("bkt", F.explode(bucket(F.col("qv")))).select(
+        "query_id", "qv", "bkt"
+    )
+    cand = (
+        cb.join(qb, "bkt")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(_cosine("qv", "v"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _fixture_queries(embeddings: DataFrame, n: int = 5) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+
+
+def _fixture_corpus(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query(
+    "ann_bruteforce_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return brute_force_topk(_fixture_corpus(e), _fixture_queries(e), k=5)
+
+
+@query("ann_lsh_topk")  # rows-only: seeded hyperplanes not in SQL;
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall vs brute force gated in tests/test_similarity.py
+    e = T(spark, sf_dir, "embeddings")
+    return lsh_topk(_fixture_corpus(e), _fixture_queries(e), k=5)

@@ -1,0 +1,155 @@
+"""Structured Streaming surface over the stream-shaped `events` table.
+
+Batch parquet replayed as a file stream with Trigger.AvailableNow —
+the standard backfill/replay harness: the same code path serves a
+live stream by pointing readStream at the live directory. Watermarks
+bound state; results land in a named memory sink and are returned as
+a DataFrame so the driver contract (and the DuckDB oracle, for the
+window aggregates, since availableNow over a static table must equal
+the batch answer) can check them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.relational import query
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The fixture is a
+    single parquet file but file sources need a directory, so it is
+    symlinked into a temp dir (a live pipeline would point this at
+    the ingest directory and new files stream in)."""
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="kgstream_src_")
+    os.symlink(src, os.path.join(d, "events.parquet"))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _run_available_now(result: DataFrame, name: str) -> DataFrame:
+    spark = result.sparkSession
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"kgstream_{name}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window with a 1-hour watermark."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_available_now(agg, "daily")
+
+
+def sliding_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window every 1 hour: sum of event values."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "n",
+            "value_c",
+        )
+    )
+    return _run_available_now(agg, "sliding")
+
+
+def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Stateful session windows per user: the stream emits one row per
+    merged session (complete mode, exact batch equivalence for the
+    replay; a live pipeline would use append mode + watermark and
+    accept that in-flight sessions emit later); per-user counts are a
+    batch aggregation over the sink."""
+    ev = events_stream(spark, sf_dir)
+    sessions = ev.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sunk = _run_available_now(sessions, "sessions")
+    return sunk.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query(
+    "stream_tumbling_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # availableNow over the static table == the batch answer
+    return tumbling_daily_counts(spark, sf_dir)
+
+
+@query(
+    "stream_session_counts",
+    """
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window gap semantics: an event exactly `gap` after the
+    # previous one starts a NEW session (windows are half-open), hence
+    # the oracle's >= 1800
+    return session_counts(spark, sf_dir)
+
+
+@query("stream_sliding_value")  # rows-only (overlapping windows are
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-expressible too, but kept as the plain streaming demo)
+    return sliding_hourly_value(spark, sf_dir)

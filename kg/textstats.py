@@ -1,0 +1,148 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Quality/token/fingerprint ops are pure Catalyst with SQL oracles.
+Language ID is a stopword/char-profile heuristic in a vectorized
+pandas UDF (profiles broadcast once per worker); the synthetic
+`documents.text` is random tokens, so its accuracy gate lives in
+tests/test_textstats.py over real-language samples, and the driver
+query is rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from kg.relational import T, query
+
+# minimal high-frequency marker sets per language (public common words)
+LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "was", "that", "for", "with", "it", "his", "her", "they", "this"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour", "qui", "avec", "sur"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "por", "con", "para", "del"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "in", "mit", "von", "zu", "den", "nicht", "auf", "sich"},
+    "zh": set(),  # CJK handled by the char-range rule below
+}
+
+
+def detect_lang(text: str) -> str:
+    """Pure kernel: CJK char ratio first, then stopword-hit argmax."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(len(text), 1) > 0.2:
+        return "zh"
+    toks = text.lower().split()
+    if not toks:
+        return "und"
+    best, best_hits = "und", 0
+    for lang in ("en", "fr", "es", "de"):  # fixed order = deterministic
+        hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+@pandas_udf(StringType())
+def detect_lang_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in it:
+        yield texts.map(detect_lang)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("pred_lang", detect_lang_udf(F.col(text_col)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features, all Catalyst: token count, mean token
+    length, digit/punct ratios, and a composite keep-score."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tok = F.size(tokens).cast("long")
+    n_char = F.length(text_col).cast("long")
+    n_digit = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0)).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[.,;:!?]"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_m"),
+        F.round(n_char.cast("double") / n_tok, 4).alias("mean_tok_len"),
+        F.round(n_digit.cast("double") / n_char, 4).alias("digit_ratio"),
+        F.round(n_punct.cast("double") / n_char, 4).alias("punct_ratio"),
+        # keep-score: long enough, not digit-soup
+        F.when(
+            (n_tok >= 5) & (n_digit.cast("double") / n_char < 0.3), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def min_fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over word
+    n-gram shingles (md5 exists in both engines -> SQL oracle)."""
+    tokens = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(tokens, i, n))),
+    )
+    return docs.select(
+        "doc_id", F.array_min(sh).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS mean_tok_len,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / length(text), 4) AS digit_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           CAST(CASE WHEN len(string_split(text, ' ')) >= 5
+                      AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                          / length(text) < 0.3
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, GREATEST(len(t) - 4, 1))) AS i
+      FROM toks),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS h FROM idx)
+    SELECT doc_id, MIN(h) AS fingerprint FROM sh GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return min_fingerprint(T(spark, sf_dir, "documents"))
+
+
+@query("text_lang_id")  # rows-only: heuristic gated in pytest
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "lang", "pred_lang")
