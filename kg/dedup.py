@@ -31,8 +31,14 @@ from pyspark.sql.types import LongType
 
 from kg.relational import T, query
 
-MERSENNE_P = (1 << 61) - 1
-HASH_DOMAIN = 1 << 31
+# Mersenne prime 2^31-1: (a*h+b) mod P with a,b,h < P stays inside
+# int64 (a*h < 2^62, ANSI-safe) AND wraps ~2^31 times, so it is a real
+# universal-hash permutation. (A larger modulus like 2^61-1 with
+# 31-bit inputs almost never wraps -> near-monotonic "permutations"
+# whose min is always the same shingle — measured est 0.98 for
+# jaccard 0.85 before this fix.)
+MERSENNE_P = (1 << 31) - 1
+HASH_DOMAIN = MERSENNE_P
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:

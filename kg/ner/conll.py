@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 def read_conll(spark: SparkSession, path: str, sep: str = " ") -> DataFrame:
     """path (file/dir of CoNLL text) -> DF<doc_id, sent_id, words, tags>."""
+    # NB: must be the reader *parameter* — .option("wholetext", ...)
+    # is silently ignored by the text source in Spark 4
     files = (
-        spark.read.option("wholetext", True)
-        .text(path)
+        spark.read.text(path, wholetext=True)
         .select(
             F.input_file_name().alias("doc_id"),
             F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line"),

@@ -33,18 +33,24 @@ from kg.relations import extract_relations, pair_gen
 
 
 def salt_repartition(
-    df: DataFrame, key_col: str, buckets: int = 16, num_partitions: int | None = None
+    df: DataFrame,
+    key_col: str,
+    buckets: int = 16,
+    num_partitions: int | None = None,
+    salt_from: str = "url",
 ) -> DataFrame:
     """X1: deterministic salted repartition for skewed hot keys
     (BASELINE.json:6 "salted repartitioning for skewed hot domains").
 
-    Salt = xxhash64 of the full row key (NOT rand(): reruns must place
-    rows identically for checkpoint/resume determinism). A hot host
-    holding 30% of urls spreads over ``buckets`` partitions instead of
-    melting one executor during the UDF-heavy NER stages.
+    Salt = xxhash64 of a ROW-UNIQUE column (``salt_from``, default
+    url) — hashing the skewed key itself would map the whole hot key
+    to one salt. Not rand(): reruns must place rows identically for
+    checkpoint/resume determinism. A hot host holding 30% of urls
+    spreads over ``buckets`` partitions instead of melting one
+    executor during the UDF-heavy NER stages.
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
     )
     if num_partitions:
         out = salted.repartition(num_partitions, F.col(key_col), F.col("_salt"))

@@ -1,0 +1,100 @@
+"""Dedup gates: MinHash estimates track exact Jaccard; LSH recalls
+planted near-duplicates; SimHash keeps near-dups in close buckets."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from kg.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    shingles_df,
+)
+
+
+def _planted_docs(spark, n_base=30, seed=11):
+    """Base docs + near-duplicates (one token changed) + one exact dup."""
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = []
+    for i in range(n_base):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(toks), "en", "src0", len(" ".join(toks))))
+        if i < 10:  # near-dup: flip one token
+            mod = toks[:]
+            mod[20] = "CHANGED"
+            rows.append(
+                (1000 + i, " ".join(mod), "en", "src0", len(" ".join(mod)))
+            )
+    rows.append((2000, rows[0][1], "en", "src0", rows[0][4]))  # exact dup
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _exact_jaccard(spark, docs):
+    sh = shingles_df(docs)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                out[(a, b)] = inter / len(sets[a] | sets[b])
+    return out
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    docs = _planted_docs(spark)
+    exact = _exact_jaccard(spark, docs)
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, k=64).collect()}
+    for (a, b), jac in exact.items():
+        if jac < 0.3:
+            continue
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        assert abs(est - jac) < 0.25, (a, b, jac, est)
+
+
+def test_lsh_recalls_planted_near_dups(spark):
+    docs = _planted_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # all 10 planted near-dups (jaccard ~0.87) + the exact dup
+    for i in range(10):
+        assert (i, 1000 + i) in pairs, (i, pairs)
+    assert (0, 2000) in pairs
+    # verified jaccard filter keeps precision: no low-sim pairs
+    exact = _exact_jaccard(spark, docs)
+    for a, b in pairs:
+        assert exact.get((a, b), 0.0) >= 0.5
+
+
+def test_ngram_jaccard_finds_exact_dup(spark):
+    docs = _planted_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    }
+    assert pairs.get((0, 2000)) == 1.0
+
+
+def test_simhash_near_dups_share_bucket(spark):
+    docs = _planted_docs(spark)
+    sims = {
+        r["doc_id"]: (r["simhash"], r["bucket"])
+        for r in simhash_buckets(docs).collect()
+    }
+    for i in range(10):
+        h1, b1 = sims[i]
+        h2, b2 = sims[1000 + i]
+        hamming = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+        assert hamming <= 8, (i, hamming)
+    # exact dup: identical simhash and bucket
+    assert sims[0] == sims[2000]

@@ -1,0 +1,62 @@
+"""K1 byte-identity gates (BASELINE.json:15, SURVEY.md §5 layers 1+3)."""
+
+import hashlib
+
+from kg.extract import extract_text
+from tests.oracle.extract_frozen import extract_text_frozen
+
+# pin the frozen spec file: an intentional spec change must update
+# this hash in the same commit (freeze discipline, SURVEY.md §5)
+FROZEN_SHA256 = "1798d46a7743a2f6200554819f6d8f87d6ca741c4734fe0aba581a03241b4ccf"
+
+ADVERSARIAL = [
+    b"",
+    b"plain text, no tags at all",
+    b"<p>unclosed paragraph",
+    b"<html><body><script>alert('<p>not text</p>')</script><p>real</p>",
+    b"<p>a &amp; b &lt;c&gt; &#64;</p>",
+    b"<div>nested <div>blocks <p>inside</p></div> tail</div>",
+    b"<p>spaces\t\tand\n\nnewlines   collapse</p>",
+    b"<!-- comment --><p>after comment</p><!-- trailing -->",
+    b"<style>p{}</style><noscript><p>hidden</p></noscript><p>shown</p>",
+    "<p>unicode: café 中文 emoji \U0001f600</p>".encode(),
+    b"<SCRIPT>UPPER case skip</SCRIPT><P>upper p</P>",
+    b"<br/><hr/><p>self-closing blocks</p>",
+    b"\xff\xfe invalid utf8 \x80\x81 <p>still works</p>",
+]
+
+
+def test_frozen_oracle_pinned():
+    body = open("tests/oracle/extract_frozen.py", "rb").read()
+    assert hashlib.sha256(body).hexdigest() == FROZEN_SHA256, (
+        "frozen extraction spec changed — if intentional, update "
+        "FROZEN_SHA256 and re-review the byte-identity contract"
+    )
+
+
+def test_engine_matches_frozen_on_adversarial_html():
+    for html in ADVERSARIAL:
+        assert extract_text(html) == extract_text_frozen(html), html
+
+
+def test_byte_identity_on_fixture(spark, clean_pages):
+    rows = clean_pages.collect()
+    for r in rows:
+        assert extract_text(r["html"]) == r["text"], r["url"]
+        assert extract_text_frozen(r["html"]) == r["text"], r["url"]
+
+
+def test_spark_udf_byte_identity(spark, clean_pages):
+    """The distributed Arrow-UDF path, not just the kernel."""
+    from pyspark.sql import functions as F
+
+    from kg.extract import html_to_text
+
+    extracted = html_to_text(clean_pages.select("url", "html"))
+    truth = clean_pages.select("url", F.col("text").alias("expected"))
+    bad = (
+        extracted.join(truth, "url")
+        .filter(F.col("text") != F.col("expected"))
+        .count()
+    )
+    assert bad == 0

@@ -1,0 +1,84 @@
+"""K7 connected components vs a union-find oracle (SURVEY.md §5)."""
+
+import random
+
+from kg.graph import connected_components, same_as_edges
+
+
+def uf_components(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    # canonical: min id per component
+    comp = {}
+    for v in vertices:
+        comp[v] = find(v)
+    # find() roots are min-ids because merges always point high->low
+    return comp
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_graph(spark):
+    """Path graph stresses the O(log n) pointer jumping."""
+    edges = [(i, i + 1) for i in range(30)]
+    got = _run(spark, edges)
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_two_cliques_and_singleton(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_edge_order_permutation_invariant(spark):
+    rng = random.Random(3)
+    vertices = list(range(100))
+    edges = [
+        (rng.randrange(100), rng.randrange(100)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = uf_components(edges, vertices)
+    for trial in range(2):
+        perm = edges[:]
+        rng.shuffle(perm)
+        got = _run(spark, perm)
+        for a, b in edges:
+            assert got[a] == got[b]
+        # canonical min-id labels match union-find exactly
+        reachable = {v for e in edges for v in e}
+        assert {v: want[v] for v in reachable} == got
+
+
+def test_same_as_edges_only_high_prior(spark):
+    from kg.fixtures import aliases_df
+
+    edges = same_as_edges(aliases_df(spark)).collect()
+    # exactly the 5 org Holdings variants pair with their stem org
+    assert len(edges) == 5
+    for e in edges:
+        assert e["src"] < e["dst"]
+
+
+def test_idempotent_on_component_output(spark):
+    """Feeding component assignments back as edges is a fixpoint."""
+    edges = [(1, 2), (2, 3), (7, 8)]
+    got = _run(spark, edges)
+    again = _run(spark, [(k, v) for k, v in got.items() if k != v])
+    assert again == got

@@ -1,0 +1,54 @@
+"""ANN: brute force is the ground truth; LSH must recall most of it."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from kg.similarity import brute_force_topk, lsh_topk
+
+
+def _vectors(spark, n=300, dim=64, seed=5, clusters=10):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((clusters, dim))
+    rows = []
+    for i in range(n):
+        c = centers[i % clusters]
+        v = c + 0.15 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_bruteforce_topk_is_exact(spark):
+    corpus = _vectors(spark, n=120)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = brute_force_topk(corpus, queries, k=5).collect()
+    # numpy ground truth
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in corpus.collect()}
+    for qid in range(3):
+        q = vecs[qid]
+        sims = {
+            vid: round(
+                float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6
+            )
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        want = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+        got_q = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rk"]
+        )]
+        assert got_q == want, (qid, got_q, want)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    corpus = _vectors(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(corpus, queries, k=5)
+    ann = lsh_topk(corpus, queries, k=5, n_tables=12, n_bits=10)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.7, recall
