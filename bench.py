@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract + BASELINE.md §6 protocol).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+`value` is the total wall time of the headline query set (lower is
+better); `queries` holds per-query seconds plus the flagship KG
+pipeline's docs/sec under "kg_pipeline_docs_per_sec".
+
+--scaling mode: run the flagship KG pipeline at two parallelism
+levels (local[8] vs local[32]) on the same input and report
+throughput at both + scaling efficiency (the sandbox stand-in for
+the north rule's N vs 4N executors — BASELINE.md). Results are
+written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _bench_queries():
+    """Headline set: names -> callables(spark, sf_dir)."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    names = [
+        "q1_pricing_summary",
+        "q6_revenue_filter",
+        "q5_region_revenue",
+        "q_window_topk_orders",
+        "q_sessionize",
+        "dedup_minhash_lsh",
+        "ann_bruteforce_topk",
+        "text_quality",
+    ]
+    return {n: q[n] for n in names}
+
+
+def _run_query(spark, fn, sf_dir) -> float:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+N_BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "50000"))
+
+
+def _bench_pages(spark, n_pages: int) -> str:
+    """Materialize the bench pages fixture once (input generation is
+    never timed — BASELINE.md §6 protocol). Reused across runs."""
+    from kg import fixtures as FX
+
+    path = f"/tmp/kg_bench_pages_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        FX.gen_pages(spark, n_pages, seed=42, noise=0.0).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _run_kg_pipeline(spark, n_pages: int) -> tuple[float, int]:
+    """Flagship KG pipeline over the pre-generated bench pages
+    (~50k, FIXTURES.md §2). Returns (seconds, n_pages)."""
+    from kg import fixtures as FX
+    from kg.pipeline import run_pipeline
+
+    pages = spark.read.parquet(_bench_pages(spark, n_pages))
+    aliases = FX.aliases_df(spark)
+    evecs = FX.entity_vecs_df(spark)
+    t0 = time.monotonic()
+    res = run_pipeline(spark, pages, aliases, evecs)
+    res["triples"].write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0, n_pages
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from kg.session import build_session
+
+    spark = build_session(
+        app_name="kg-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * int(cpus),
+    )
+
+    # warm-up (JIT/codegen/scan caches), discarded per BASELINE.md §6
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    _run_query(spark, _bench_queries()["q1_pricing_summary"], sf_dir)
+
+    queries: dict[str, float] = {}
+    for name, fn in _bench_queries().items():
+        queries[name] = round(_run_query(spark, fn, sf_dir), 3)
+
+    kg_sec, n_pages = _run_kg_pipeline(spark, N_BENCH_PAGES)
+    queries["kg_pipeline_sec"] = round(kg_sec, 3)
+    queries["kg_pipeline_docs_per_sec"] = round(n_pages / kg_sec, 1)
+
+    total = sum(
+        v for k, v in queries.items() if k != "kg_pipeline_docs_per_sec"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall time (relational+dedup+ann+kg-pipeline)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def scaling(levels=(8, 32), n_pages: int | None = None) -> dict:
+    """Two-parallelism-level scaling evidence (north rule stand-in)."""
+    from kg.session import build_session
+
+    n_pages = n_pages or N_BENCH_PAGES
+    results = {}
+    for cpus in levels:
+        spark = build_session(
+            app_name=f"kg-scaling-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=2 * cpus,
+        )
+        # warm-up (discarded) + 3 timed runs, median
+        _run_kg_pipeline(spark, max(n_pages // 10, 1000))
+        times = sorted(
+            _run_kg_pipeline(spark, n_pages)[0] for _ in range(3)
+        )
+        sec = times[1]
+        results[cpus] = {
+            "median_sec": round(sec, 2),
+            "all_sec": [round(t, 2) for t in times],
+            "docs_per_sec": round(n_pages / sec, 1),
+        }
+        spark.stop()
+    lo, hi = min(levels), max(levels)
+    eff = (
+        results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+    ) / (hi / lo)
+    out = {
+        "n_pages": n_pages,
+        "levels": results,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

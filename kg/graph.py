@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 SAME_AS_PRIOR = 0.5
 MAX_ITERATIONS = 50
+# below this edge count the graph is collected and solved with
+# union-find on the driver (KB-sized same-as graphs are tiny even at
+# a 10^12-page corpus — entity count is corpus-independent); the
+# distributed loop handles anything larger
+SMALL_GRAPH_EDGES = 100_000
 
 
 def same_as_edges(aliases: DataFrame) -> DataFrame:
@@ -46,15 +51,51 @@ def same_as_edges(aliases: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_components(
+    edges: DataFrame, vertices: DataFrame | None
+) -> DataFrame:
+    """Driver-side union-find for small graphs (same min-id labels as
+    the distributed loop; one collect, one parallelize)."""
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = set()
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        ids.add(a)
+        ids.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    if vertices is not None:
+        ids.update(r["id"] for r in vertices.collect())
+    rows = [(v, find(v)) for v in sorted(ids)]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) [+ vertices(id)] -> components(id, component).
 
     component = min vertex id in the component (deterministic, so
-    resumed runs and the gold fixture agree on ids).
+    resumed runs and the gold fixture agree on ids). Small graphs
+    short-circuit to driver union-find (set ``small_graph_edges=0``
+    to force the distributed loop, as the tests do).
     """
     spark = edges.sparkSession
+    if small_graph_edges and edges.limit(small_graph_edges + 1).count() <= small_graph_edges:
+        return _union_find_components(edges, vertices)
     sym = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))

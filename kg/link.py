@@ -69,9 +69,38 @@ def rerank(
     entity_vecs: DataFrame,
     k: int = 1,
     broadcast_entities: bool = True,
+    by_surface: bool = True,
 ) -> DataFrame:
-    """K4: cosine(mention-context vec, entity vec), keep top-k."""
+    """K4: cosine(mention-context vec, entity vec), keep top-k.
+
+    ``by_surface=True`` (default): the mention embedding here is a
+    pure function of the surface form, so cosine AND rank are
+    identical for every mention sharing a surface — score the
+    **distinct (surface, entity_id) pairs** (dictionary-bounded: at a
+    10^12-page corpus this is millions of rows, not trillions) and
+    broadcast the verdicts back onto mentions. The per-mention window
+    path (``by_surface=False``) is what a sentence-contextual encoder
+    would need; both produce identical results for this encoder."""
     ev = F.broadcast(entity_vecs) if broadcast_entities else entity_vecs
+    if by_surface:
+        pairs = candidates.select("surface", "entity_id").distinct()
+        scored_pairs = (
+            pairs.withColumn(
+                "mention_vec", _surface_embedding_udf(F.col("surface"))
+            )
+            .join(ev, "entity_id", "inner")
+            .withColumn("cosine", cosine_expr("mention_vec", "embedding"))
+            .drop("mention_vec", "embedding")
+        )
+        w = Window.partitionBy("surface").orderBy(
+            F.desc("cosine"), F.asc("entity_id")
+        )
+        verdict = scored_pairs.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+        return candidates.join(
+            F.broadcast(verdict), ["surface", "entity_id"], "inner"
+        )
     with_vec = candidates.withColumn(
         "mention_vec", _surface_embedding_udf(F.col("surface"))
     ).join(ev, "entity_id", "inner")

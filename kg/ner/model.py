@@ -192,3 +192,63 @@ def _tag_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def tag_sentences(df: DataFrame, words_col: str = "words") -> DataFrame:
     """M4+M5+M6 fused batched inference: + tags: array<string>."""
     return df.withColumn("tags", _tag_udf(F.col(words_col)))
+
+
+_SPANS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("ent_type", StringType()),
+            StructField("begin", IntegerType()),
+            StructField("end", IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_SPANS_SCHEMA)
+def _detect_spans_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """M4..M7 in ONE JVM<->Python crossing: tokenize+forward+align+BIO
+    decode inside the same Arrow batch (the pipeline hot path; the
+    separate tag/decode UDFs remain for per-op tests and queries)."""
+    from kg.ner.bio import decode_bio
+
+    model = _Model.get()
+    for words_col in it:
+        tags = model.forward_tags([list(w) for w in words_col])
+        yield pd.Series(
+            [
+                [
+                    {"ent_type": t, "begin": b, "end": e}
+                    for (t, b, e) in decode_bio(ts)
+                ]
+                for ts in tags
+            ]
+        )
+
+
+def detect_mentions(df: DataFrame, words_col: str = "words") -> DataFrame:
+    """sentences(url, sent_id, words) -> mentions table, one fused
+    Arrow stage + Catalyst explode/slice for surfaces."""
+    spans = df.select(
+        "url",
+        "sent_id",
+        F.col(words_col).alias("_words"),
+        F.explode(_detect_spans_udf(F.col(words_col))).alias("span"),
+    )
+    return spans.select(
+        "url",
+        "sent_id",
+        F.xxhash64("url", "sent_id", F.col("span.begin")).alias("mention_id"),
+        F.col("span.ent_type").alias("ent_type"),
+        F.col("span.begin").alias("begin"),
+        F.col("span.end").alias("end"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_words"),
+                F.col("span.begin") + 1,
+                F.col("span.end") - F.col("span.begin"),
+            ),
+        ).alias("surface"),
+        F.lit(1.0).alias("score"),
+    )

@@ -140,15 +140,24 @@ def alias_rows() -> list[dict]:
     driving both K4 multi-candidate re-rank and K7 same-as edges) but
     0.3 for PER/LOC (an ambiguous first name must NOT merge people —
     kg.graph.SAME_AS_PRIOR sits between the two)."""
-    rows: list[dict] = []
+    best: dict[tuple[str, int], float] = {}
     for e in entity_registry():
-        rows.append({"alias": e["surface"].lower(),
-                     "entity_id": e["entity_id"], "prior": 0.9})
+        full = e["surface"].lower()
         stem = e["surface"].split()[0].lower()
         stem_prior = 0.6 if e["ent_type"] == "ORG" else 0.3
-        rows.append({"alias": stem, "entity_id": e["entity_id"],
-                     "prior": stem_prior})
-    return rows
+        # single-word surfaces make full == stem: keep max prior so
+        # (alias, entity_id) pairs are unique (duplicate candidate
+        # rows would double-link every mention downstream)
+        best[(full, e["entity_id"])] = max(
+            best.get((full, e["entity_id"]), 0.0), 0.9
+        )
+        best[(stem, e["entity_id"])] = max(
+            best.get((stem, e["entity_id"]), 0.0), stem_prior
+        )
+    return [
+        {"alias": a, "entity_id": eid, "prior": p}
+        for (a, eid), p in best.items()
+    ]
 
 
 # ------------------------------------------------- word-level gold labels

@@ -24,8 +24,6 @@ from kg import io
 from kg.extract import html_to_text
 from kg.graph import connected_components, same_as_edges
 from kg.link import candidate_gen, rerank
-from kg.ner.bio import bio_to_mentions
-from kg.ner.model import tag_sentences
 from kg.ner.tokenize import split_sentences, tokenize_words
 from kg.relations import extract_relations, pair_gen
 
@@ -84,9 +82,11 @@ def stage_sentences(text_extracted: DataFrame) -> DataFrame:
 
 
 def stage_mentions(sentences: DataFrame) -> DataFrame:
-    """K2 core: batched NER inference (M4-M6) + BIO decode (M7)."""
-    tagged = tag_sentences(sentences.select("url", "sent_id", "words"))
-    return bio_to_mentions(tagged)
+    """K2 core: batched NER inference (M4-M6) + BIO decode (M7), fused
+    into a single Arrow crossing (kg.ner.model.detect_mentions)."""
+    from kg.ner.model import detect_mentions
+
+    return detect_mentions(sentences.select("url", "sent_id", "words"))
 
 
 def stage_linked(
@@ -240,7 +240,9 @@ def run_pipeline(
         }
     else:
         text = stage_extract(pages)
-        sents = stage_sentences(text)
+        # sentences feed BOTH the NER path and the K6 between-text
+        # join — persist so HTML extraction + tokenization run once
+        sents = stage_sentences(text).persist()
         mentions = stage_mentions(sents)
         linked = stage_linked(mentions, aliases, entity_vecs)
         traw = stage_triples_raw(linked, sents)

@@ -27,11 +27,19 @@ def uf_components(edges, vertices):
     return comp
 
 
-def _run(spark, edges):
+def _run(spark, edges, small=0):
+    # small=0 forces the distributed iterative loop (the path that
+    # matters at scale); small>0 exercises the union-find shortcut
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
-        r["id"]: r["component"] for r in connected_components(df).collect()
+        r["id"]: r["component"]
+        for r in connected_components(df, small_graph_edges=small).collect()
     }
+
+
+def test_small_graph_shortcut_matches_distributed(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (5, 3)]
+    assert _run(spark, edges, small=0) == _run(spark, edges, small=10**5)
 
 
 def test_chain_graph(spark):
