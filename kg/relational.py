@@ -703,3 +703,198 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
     )
+
+
+# =====================================================================
+# second wave: TPC-H Q3 shape, set intersect, strings, grouping sets,
+# SQL-API path, approx distinct, grouped-map as-of
+# =====================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_c DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact join ->
+    agg -> global top-k (TakeOrderedAndProject)."""
+    c = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("revenue_c"))
+        .select("l_orderkey", "revenue_c", "orderdate")
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_set_intersect",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@query(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_type, 1, 5) AS type5,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("lev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "q_grouping_sets_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the spark.sql() API path + explicit GROUPING SETS."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL sketches differ by engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count; the
+    query itself asserts the relative error bound."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "approx_parts",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "q_asof_grouped_pandas",
+    """
+    SELECT event_id, user_id, prev_purchase_value FROM (
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_purchase_value
+      FROM events) t
+    WHERE event_type = 'click'
+    """,
+)
+def q_asof_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of semantics as q_asof_prev_purchase, but computed
+    with applyInPandas (grouped-map pandas merge_asof per user) — the
+    per-key imperative escape hatch, cross-checked against the
+    identical window-based oracle."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        prev = None
+        out = []
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "click":
+                out.append(
+                    {
+                        "event_id": row["event_id"],
+                        "user_id": row["user_id"],
+                        "prev_purchase_value": prev,
+                    }
+                )
+            if row["event_type"] == "purchase":
+                prev = row["value"]
+        return pd.DataFrame(
+            out, columns=["event_id", "user_id", "prev_purchase_value"]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        asof, "event_id long, user_id long, prev_purchase_value double"
+    )
