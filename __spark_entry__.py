@@ -80,6 +80,28 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship(spark, sf_dir)
 
 
+def _conll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M4-M8: the reference's CoNLL evaluation path — read gold
+    CoNLL, run the NER stack, report per-type entity-level P/R/F1."""
+    import os
+    import tempfile
+
+    from kg.fixtures import write_conll_fixture
+    from kg.ner.bio import bio_to_mentions
+    from kg.ner.conll import read_conll
+    from kg.ner.metrics import per_type_prf
+    from kg.ner.model import tag_sentences
+
+    path = os.path.join(tempfile.gettempdir(), "kg_conll_eval.txt")
+    if not os.path.exists(path):
+        write_conll_fixture(path, n_sentences=300, seed=7, noise=0.0)
+    gold = read_conll(spark, path)
+    gm = bio_to_mentions(gold.withColumnRenamed("doc_id", "url"))
+    pred = tag_sentences(gold.select("doc_id", "sent_id", "words"))
+    pm = bio_to_mentions(pred.withColumnRenamed("doc_id", "url"))
+    return per_type_prf(pm, gm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     # importing these modules registers their entries in the shared
@@ -99,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_linked"] = _kg_linked
     q["kg_components"] = _kg_components
     q["kg_triples"] = _kg_triples
+    q["conll_eval_prf"] = _conll_eval
     return q
 
 

@@ -64,6 +64,47 @@ def cosine_expr(a: str, b: str):
     )
 
 
+def rank_alias_verdicts(
+    aliases: DataFrame, entity_vecs: DataFrame, k: int = 1
+) -> DataFrame:
+    """K3+K4 fused dictionary path: pre-rank every alias's candidate
+    entities by cosine(E(alias), entity_vec) — computable WITHOUT
+    touching the corpus because the context-free surface encoder
+    lowercases, so E(surface) == E(lower(surface)) == E(alias).
+
+    Returns (alias, entity_id, prior, cosine, rank), dictionary-sized.
+    The corpus then needs exactly ONE broadcast join (see
+    link_mentions), keeping the KG pipeline a single corpus pass."""
+    scored = (
+        aliases.withColumn(
+            "alias_vec", _surface_embedding_udf(F.col("alias"))
+        )
+        .join(F.broadcast(entity_vecs), "entity_id", "inner")
+        .withColumn("cosine", cosine_expr("alias_vec", "embedding"))
+        .drop("alias_vec", "embedding")
+    )
+    w = Window.partitionBy("alias").orderBy(F.desc("cosine"), F.asc("entity_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    entity_vecs: DataFrame,
+    k: int = 1,
+) -> DataFrame:
+    """mentions -> linked in one broadcast hash join against the
+    pre-ranked alias verdicts (the production K3+K4 hot path)."""
+    verdict = rank_alias_verdicts(aliases, entity_vecs, k)
+    return mentions.join(
+        F.broadcast(verdict),
+        F.lower(mentions["surface"]) == verdict["alias"],
+        "inner",
+    )
+
+
 def rerank(
     candidates: DataFrame,
     entity_vecs: DataFrame,

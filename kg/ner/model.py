@@ -194,19 +194,20 @@ def tag_sentences(df: DataFrame, words_col: str = "words") -> DataFrame:
     return df.withColumn("tags", _tag_udf(F.col(words_col)))
 
 
-_SPANS_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("ent_type", StringType()),
-            StructField("begin", IntegerType()),
-            StructField("end", IntegerType()),
-        ]
-    )
+# parallel primitive arrays instead of array<struct>: Arrow converts
+# list<primitive> vectorized, while list-of-dict rows fall back to
+# slow object conversion (measured in the 1M-page profile)
+_SPANS_SCHEMA = StructType(
+    [
+        StructField("ent_types", ArrayType(StringType())),
+        StructField("begins", ArrayType(IntegerType())),
+        StructField("ends", ArrayType(IntegerType())),
+    ]
 )
 
 
 @pandas_udf(_SPANS_SCHEMA)
-def _detect_spans_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def _detect_spans_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """M4..M7 in ONE JVM<->Python crossing: tokenize+forward+align+BIO
     decode inside the same Arrow batch (the pipeline hot path; the
     separate tag/decode UDFs remain for per-op tests and queries)."""
@@ -215,29 +216,42 @@ def _detect_spans_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     model = _Model.get()
     for words_col in it:
         tags = model.forward_tags([list(w) for w in words_col])
-        yield pd.Series(
-            [
-                [
-                    {"ent_type": t, "begin": b, "end": e}
-                    for (t, b, e) in decode_bio(ts)
-                ]
-                for ts in tags
-            ]
+        spans = [decode_bio(ts) for ts in tags]
+        yield pd.DataFrame(
+            {
+                "ent_types": [[s[0] for s in sp] for sp in spans],
+                "begins": [[s[1] for s in sp] for sp in spans],
+                "ends": [[s[2] for s in sp] for sp in spans],
+            }
         )
 
 
-def detect_mentions(df: DataFrame, words_col: str = "words") -> DataFrame:
+def detect_mentions(
+    df: DataFrame, words_col: str = "words", carry_words: bool = False
+) -> DataFrame:
     """sentences(url, sent_id, words) -> mentions table, one fused
-    Arrow stage + Catalyst explode/slice for surfaces."""
-    spans = df.select(
+    Arrow stage + Catalyst explode/slice for surfaces.
+
+    ``carry_words=True`` keeps the sentence token array on each
+    mention row: K6's between-text then needs NO join back to the
+    sentences table (saves a full shuffle+sort of the corpus-sized
+    sentence relation at the cost of duplicating token arrays across
+    a sentence's mentions)."""
+    spans = df.withColumn("_spans", _detect_spans_udf(F.col(words_col))).select(
         "url",
         "sent_id",
         F.col(words_col).alias("_words"),
-        F.explode(_detect_spans_udf(F.col(words_col))).alias("span"),
+        F.explode(
+            F.arrays_zip(
+                F.col("_spans.ent_types").alias("ent_type"),
+                F.col("_spans.begins").alias("begin"),
+                F.col("_spans.ends").alias("end"),
+            )
+        ).alias("span"),
     )
-    return spans.select(
-        "url",
-        "sent_id",
+    cols = [
+        F.col("url"),
+        F.col("sent_id"),
         F.xxhash64("url", "sent_id", F.col("span.begin")).alias("mention_id"),
         F.col("span.ent_type").alias("ent_type"),
         F.col("span.begin").alias("begin"),
@@ -251,4 +265,7 @@ def detect_mentions(df: DataFrame, words_col: str = "words") -> DataFrame:
             ),
         ).alias("surface"),
         F.lit(1.0).alias("score"),
-    )
+    ]
+    if carry_words:
+        cols.append(F.col("_words").alias("words"))
+    return spans.select(*cols)

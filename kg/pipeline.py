@@ -64,15 +64,21 @@ def host_of(url_col: str = "url"):
 # --------------------------------------------------------- stage bodies
 
 
-def stage_extract(pages: DataFrame) -> DataFrame:
-    """K1 (+X1): salt by host (skew!), then Arrow-UDF extraction.
+def stage_extract(pages: DataFrame, salt_hot_hosts: bool = False) -> DataFrame:
+    """K1 (+optional X1): Arrow-UDF extraction.
 
     Projection before the UDF is explicit: only (url, warc_ts, lang,
-    html) enter; `html` is dropped on the other side."""
-    pages = pages.select("url", "warc_ts", "lang", "html").withColumn(
-        "_host", host_of()
-    )
-    pages = salt_repartition(pages, "_host", buckets=16).drop("_host")
+    html) enter; `html` is dropped on the other side.
+
+    ``salt_hot_hosts``: file-source splits are size-balanced, so the
+    UDF is naturally even and the default skips the (corpus-sized)
+    salting shuffle. Turn it on when the source is clustered by host
+    (e.g. an Iceberg table written in crawl order), where one split
+    would otherwise hold a hot domain end to end."""
+    pages = pages.select("url", "warc_ts", "lang", "html")
+    if salt_hot_hosts:
+        pages = pages.withColumn("_host", host_of())
+        pages = salt_repartition(pages, "_host", buckets=64).drop("_host")
     return html_to_text(pages)
 
 
@@ -83,21 +89,38 @@ def stage_sentences(text_extracted: DataFrame) -> DataFrame:
 
 def stage_mentions(sentences: DataFrame) -> DataFrame:
     """K2 core: batched NER inference (M4-M6) + BIO decode (M7), fused
-    into a single Arrow crossing (kg.ner.model.detect_mentions)."""
+    into a single Arrow crossing; mentions carry the sentence tokens
+    so K6 needs no join back to the sentences table."""
     from kg.ner.model import detect_mentions
 
-    return detect_mentions(sentences.select("url", "sent_id", "words"))
+    return detect_mentions(
+        sentences.select("url", "sent_id", "words"), carry_words=True
+    )
 
 
 def stage_linked(
     mentions: DataFrame, aliases: DataFrame, entity_vecs: DataFrame, k: int = 1
 ) -> DataFrame:
-    """K3 broadcast candidate gen + K4 cosine re-rank (top-k)."""
-    return rerank(candidate_gen(mentions, aliases), entity_vecs, k=k)
+    """K3 candidate gen + K4 cosine re-rank, fused to a single
+    broadcast join against pre-ranked alias verdicts (context-free
+    encoder => the verdict is dictionary-computable; see
+    kg.link.rank_alias_verdicts). Equivalent to
+    rerank(candidate_gen(...)) — asserted in tests."""
+    from kg.link import link_mentions
+
+    return link_mentions(mentions, aliases, entity_vecs, k=k)
 
 
-def stage_triples_raw(linked: DataFrame, sentences: DataFrame) -> DataFrame:
-    """K5 pair gen + K6 relation rules."""
+def stage_triples_raw(
+    linked: DataFrame, sentences: DataFrame | None = None
+) -> DataFrame:
+    """K5 pair gen + K6 relation rules. Hot path: grouped single-
+    shuffle pair generation when mentions carry their tokens; falls
+    back to the generic self-join + sentence join otherwise."""
+    from kg.relations import pair_gen_grouped
+
+    if "words" in linked.columns:
+        return extract_relations(pair_gen_grouped(linked))
     return extract_relations(pair_gen(linked), sentences)
 
 
@@ -239,10 +262,11 @@ def run_pipeline(
             "_orchestrator": orch,
         }
     else:
+        # single-path DAG: carry_words mentions + grouped pair gen
+        # mean every stage has exactly one consumer — no persists, no
+        # recompute, one pass over the corpus
         text = stage_extract(pages)
-        # sentences feed BOTH the NER path and the K6 between-text
-        # join — persist so HTML extraction + tokenization run once
-        sents = stage_sentences(text).persist()
+        sents = stage_sentences(text)
         mentions = stage_mentions(sents)
         linked = stage_linked(mentions, aliases, entity_vecs)
         traw = stage_triples_raw(linked, sents)

@@ -1,0 +1,146 @@
+"""Physical-plan audit: assert the plans we designed for are the
+plans Catalyst actually produces (SURVEY.md §4; the '.explain and
+iterate' discipline).
+
+Checks per query family:
+  * parquet scans carry PushedFilters / pruned ReadSchema,
+  * dimension joins are BroadcastHashJoin,
+  * per-key top-k uses WindowGroupLimit below the shuffle,
+  * global top-k is TakeOrderedAndProject (no full sort),
+  * relational plans contain NO Python evaluation nodes,
+  * the KG hot path has exactly the expected Arrow boundaries.
+
+Usage: python scripts/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from kg.session import build_session
+    from kg import dedup, similarity, textstats  # noqa: F401 (register)
+    from kg import relational as R
+
+    spark = build_session(master="local[8]", shuffle_partitions=16)
+    failures: list[str] = []
+
+    def check(name: str, cond: bool, detail: str = "") -> None:
+        print(("ok   " if cond else "FAIL ") + name + (f": {detail}" if detail and not cond else ""))
+        if not cond:
+            failures.append(name)
+
+    # --- predicate pushdown + column pruning (Q6) ---------------------
+    q6 = R.QUERIES["q6_revenue_filter"](spark, sf_dir)
+    p = plan_of(q6)
+    check("q6 pushes filters to scan", "PushedFilters: [" in p and "IsNotNull(l_shipdate)" in p, p[-500:])
+    check(
+        "q6 prunes columns (no l_orderkey in ReadSchema)",
+        "l_orderkey" not in p.split("ReadSchema")[-1],
+    )
+
+    # --- broadcast joins ----------------------------------------------
+    bj = R.QUERIES["q_broadcast_join"](spark, sf_dir)
+    check("customer dim join broadcasts", "BroadcastHashJoin" in plan_of(bj))
+    q5 = R.QUERIES["q5_region_revenue"](spark, sf_dir)
+    p5 = plan_of(q5)
+    check(
+        "q5 broadcasts all dims (>=4 BroadcastHashJoin)",
+        p5.count("BroadcastHashJoin") >= 4,
+        f"count={p5.count('BroadcastHashJoin')}",
+    )
+
+    # --- window top-k group limit --------------------------------------
+    wt = R.QUERIES["q_window_topk_orders"](spark, sf_dir)
+    check("per-key top-k uses WindowGroupLimit", "WindowGroupLimit" in plan_of(wt))
+
+    # --- global top-k ---------------------------------------------------
+    td = R.QUERIES["q_top_docs"](spark, sf_dir)
+    check("global top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in plan_of(td))
+
+    # --- no Python in relational plans ----------------------------------
+    for name in [
+        "q1_pricing_summary", "q6_revenue_filter", "q5_region_revenue",
+        "q_window_topk_orders", "q_sessionize", "q_rollup_lineitem",
+        "q_events_json", "q_doc_stats", "dedup_ngram_jaccard",
+        "ann_bruteforce_topk", "text_quality", "text_fingerprint",
+    ]:
+        p = plan_of(R.QUERIES[name](spark, sf_dir))
+        check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)
+
+    # --- partial aggregation (map-side combine) --------------------------
+    p1 = plan_of(R.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    check(
+        "q1 has partial+final hash agg",
+        p1.count("HashAggregate") >= 2 and "partial" in p1.lower(),
+    )
+
+    # --- KG hot path: exactly the designed Arrow boundaries per stage ----
+    # audit each stage's plan from a materialized input (the orchestrated
+    # execution shape); tree-string counting on the fused lazy plan would
+    # overcount shared subtrees.
+    import tempfile
+
+    from kg import fixtures as FX
+    from kg import pipeline as P
+
+    pages_path = tempfile.mkdtemp(prefix="audit_pages_") + "/pages"
+    FX.gen_pages(spark, 50, seed=42).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    def arrow_count(df) -> int:
+        p = plan_of(df)
+        return p.count("ArrowEvalPython") + p.count("MapInPandas")
+
+    text = P.stage_extract(pages)
+    check("extract stage: exactly 1 Arrow boundary", arrow_count(text) == 1)
+    check(
+        "extract stage drops html after the UDF",
+        "html" not in str(text.schema),
+    )
+    sents = P.stage_sentences(text)
+    check(
+        "sentence split adds no Python (Catalyst only)",
+        arrow_count(sents) == 1,  # still just the upstream extract UDF
+    )
+    # from materialized sentences: fused NER = 1 boundary
+    sents_path = tempfile.mkdtemp(prefix="audit_sents_") + "/s"
+    sents.write.parquet(sents_path)
+    sents_m = spark.read.parquet(sents_path)
+    mentions = P.stage_mentions(sents_m)
+    check("NER stage: exactly 1 Arrow boundary (fused M4-M7)", arrow_count(mentions) == 1)
+    m_path = tempfile.mkdtemp(prefix="audit_m_") + "/m"
+    mentions.write.parquet(m_path)
+    m_m = spark.read.parquet(m_path)
+    linked = P.stage_linked(m_m, FX.aliases_df(spark), FX.entity_vecs_df(spark))
+    check(
+        "link stage: 1 Arrow boundary (surface embedding) + broadcast join",
+        arrow_count(linked) == 1 and "BroadcastHashJoin" in plan_of(linked),
+    )
+    traw = P.stage_triples_raw(linked, sents_m)
+    # K5 self-joins linked, so its (single) Arrow subtree prints twice
+    # in the tree; the relation rules themselves add no Python.
+    check(
+        "relation stage adds no Python (Catalyst CASE rules)",
+        arrow_count(traw) <= 2 * arrow_count(linked),
+    )
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
