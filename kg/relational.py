@@ -898,3 +898,32 @@ def q_asof_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         asof, "event_id long, user_id long, prev_purchase_value double"
     )
+
+
+@query(
+    "q_grouped_agg_udaf",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched
+    quantity-weighted mean) — the escape hatch for aggregates Catalyst
+    lacks; checked against the plain-SQL formulation."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: Spark 4 doesn't infer the aggregate
+    # signature from `-> float` annotations
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("weighted_avg_price")
+    )

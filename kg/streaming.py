@@ -153,3 +153,63 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-expressible too, but kept as the plain streaming demo)
     return sliding_hourly_value(spark, sf_dir)
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — the exactly-once upsert building block.
+    State is bounded by the watermark (late duplicates beyond 1 hour
+    age out)."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_available_now(deduped, "dedupwm")
+
+
+def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sink path: stream -> parquet files + checkpointLocation
+    (append mode; the durable-output counterpart of the memory sink).
+    Returns the sunk rows read back."""
+    out = tempfile.mkdtemp(prefix="kgstream_out_")
+    ck = tempfile.mkdtemp(prefix="kgstream_ck_")
+    ev = events_stream(spark, sf_dir)
+    enriched = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@query(
+    "stream_parquet_sink",
+    "SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
+)
+def q_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts passes through unmodified; the sink must reproduce the batch
+    # projection exactly
+    return stream_to_parquet_sink(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_watermark",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one surviving row per (user_id, event_type) -> the count equals
+    # the batch COUNT(DISTINCT user_id) per type
+    return dedup_within_watermark(spark, sf_dir)

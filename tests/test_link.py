@@ -72,6 +72,28 @@ def test_topk_returns_ranked_candidates(spark):
     assert rows[0]["cosine"] >= rows[1]["cosine"]
 
 
+def test_dictionary_path_equals_generic_rerank(spark):
+    """The fused K3+K4 dictionary path (pre-ranked alias verdicts,
+    one broadcast join) must produce exactly the generic
+    candidate_gen + per-mention rerank links."""
+    from kg.link import link_mentions
+
+    m = _mentions_df(
+        spark, ["Quellix", "Novari Labs", "Valdoria", "Alinda Varek"]
+    )
+    a = link_mentions(m, aliases_df(spark), entity_vecs_df(spark)).select(
+        "mention_id", "entity_id", "rank"
+    )
+    b = rerank(
+        candidate_gen(m, aliases_df(spark)),
+        entity_vecs_df(spark),
+        by_surface=False,
+    ).select("mention_id", "entity_id", "rank")
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+    assert a.count() == b.count()
+
+
 def test_broadcast_join_in_plan(spark):
     """K3's broadcast mandate (BASELINE.json:6) shows in the plan."""
     m = _mentions_df(spark, ["Novari Labs"])
