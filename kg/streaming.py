@@ -1,5 +1,15 @@
 """Structured Streaming surface over the stream-shaped `events` table.
 
+Covered: file-source replay, tumbling/sliding/session windows,
+watermarks, dropDuplicatesWithinWatermark, memory + parquet sinks.
+NOT covered here: ``transformWithStateInPandas`` (Spark 4 custom
+stateful processors) — its Python worker requires ``google.protobuf``
+which is absent/broken in this sandbox (verified: the driver worker
+crashes with ImportError on import of protobuf descriptors; no
+network to install). The session-window + dedup ops cover the
+stateful semantics the driver oracle can check; swap-in is local to
+this module once protobuf exists.
+
 Batch parquet replayed as a file stream with Trigger.AvailableNow —
 the standard backfill/replay harness: the same code path serves a
 live stream by pointing readStream at the live directory. Watermarks
