@@ -63,6 +63,23 @@ def write_table(
         writer.parquet(path)
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through the Hadoop FS API —
+    works for file://, hdfs://, s3a:// alike (os.path would silently
+    fail on cluster storage)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated fixture table (TESTDATA.md)."""
     return read_table(spark, f"{sf_dir}/{name}.parquet")

@@ -176,7 +176,11 @@ class Orchestrator:
         return os.path.join(self.root, name)
 
     def _done(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._out(name), "_SUCCESS"))
+        # Hadoop FS API, not os.path: checkpoint roots may live on
+        # hdfs:// or s3a:// on a real cluster
+        return io.fs_exists(
+            self.spark, os.path.join(self._out(name), "_SUCCESS")
+        )
 
     def _write_metrics(self, name: str, df: DataFrame, wall_ms: float) -> None:
         """X3: per-partition row counts + content checksum, plus stage

@@ -927,3 +927,22 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
         ).alias("weighted_avg_price")
     )
+
+
+@query(
+    "q_events_from_json",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (the
+    map/struct path, vs q_events_json's get_json_object string path)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("p", F.from_json("props", "k BIGINT"))
+        .select("event_id", F.col("p.k").alias("k"))
+    )
