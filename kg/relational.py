@@ -946,3 +946,112 @@ def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p", F.from_json("props", "k BIGINT"))
         .select("event_id", F.col("p.k").alias("k"))
     )
+
+
+@query(
+    "q_except_all",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics, vs q_set_except's set)."""
+    o = T(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@query(
+    "q_math_funcs",
+    """
+    SELECT l_linenumber,
+           ROUND(SUM(sqrt(l_quantity)), 6) AS sum_sqrt_qty,
+           ROUND(SUM(abs(l_discount - 0.05)), 6) AS sum_abs_disc,
+           ROUND(SUM(ln(l_extendedprice)), 4) AS sum_log_price
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(
+        F.round(F.sum(F.sqrt("l_quantity")), 6).alias("sum_sqrt_qty"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 6).alias(
+            "sum_abs_disc"
+        ),
+        F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_log_price"),
+    )
+
+
+@query(
+    "q_anti_join_events",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_click_no_purchase FROM (
+      SELECT DISTINCT user_id FROM events e
+      WHERE event_type = 'click'
+        AND NOT EXISTS (SELECT 1 FROM events p
+                        WHERE p.user_id = e.user_id
+                          AND p.event_type = 'purchase')) t
+    """,
+)
+def q_anti_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with (typically) non-empty output: users who click
+    but never purchase."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.join(buyers, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_users_click_no_purchase")
+    )
+
+
+@query(
+    "corpus_curation",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+    quality AS (
+      SELECT doc_id, lang, t,
+             len(t) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / length(text) AS digit_ratio
+      FROM toks),
+    idx AS (
+      SELECT doc_id, lang, t, n_tokens,
+             unnest(generate_series(1, GREATEST(CAST(len(t) AS BIGINT) - 4, 1))) AS i
+      FROM quality WHERE n_tokens >= 5 AND digit_ratio < 0.3),
+    fp AS (
+      SELECT doc_id, lang,
+             MIN(md5(array_to_string(t[i:i+4], ' '))) AS fingerprint
+      FROM idx GROUP BY doc_id, lang),
+    canonical AS (
+      SELECT fingerprint, MIN(doc_id) AS keeper FROM fp GROUP BY fingerprint)
+    SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM fp f JOIN canonical c
+      ON f.fingerprint = c.fingerprint AND f.doc_id = c.keeper
+    GROUP BY f.lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pass: quality gate ->
+    winnowing-fingerprint dedup (keep min doc_id per fingerprint) ->
+    per-language kept counts. The 100 TB shape: one scan, one
+    fingerprint groupBy, one broadcast-able canonical join."""
+    from kg.textstats import min_fingerprint, quality_features
+
+    d = T(spark, sf_dir, "documents")
+    q = quality_features(d).filter(F.col("keep") == 1).select("doc_id")
+    fp = min_fingerprint(d.join(q, "doc_id", "left_semi")).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    canonical = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    kept = fp.join(
+        canonical,
+        (fp["fingerprint"] == canonical["fingerprint"])
+        & (fp["doc_id"] == canonical["keeper"]),
+        "inner",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
