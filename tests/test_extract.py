@@ -60,3 +60,42 @@ def test_spark_udf_byte_identity(spark, clean_pages):
         .count()
     )
     assert bad == 0
+
+
+def test_random_structure_byte_identity():
+    """Property: for randomly nested block structures with known
+    expected text (built alongside the html), extraction is
+    byte-identical — independent of the fixture generator's shapes."""
+    import random
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "d&d", "<tag>", "ü", "x  y"]
+
+    def build(depth=0):
+        """Returns (html, expected_blocks)."""
+        html, blocks = [], []
+        for _ in range(rng.randint(1, 4)):
+            r = rng.random()
+            if r < 0.3 and depth < 3:
+                h, b = build(depth + 1)
+                tag = rng.choice(["div", "section", "blockquote"])
+                html.append(f"<{tag}>{h}</{tag}>")
+                blocks.extend(b)
+            elif r < 0.5:
+                html.append(f"<script>var x = '<p>junk</p>';</script>")
+            elif r < 0.6:
+                html.append(f"<!-- comment {rng.randint(0,9)} -->")
+            else:
+                from html import escape
+
+                text_words = [rng.choice(words) for _ in range(rng.randint(1, 5))]
+                inner = "   ".join(escape(w) for w in text_words)
+                html.append(f"<p>{inner}</p>")
+                expected = " ".join(" ".join(w.split()) for w in text_words)
+                blocks.append(expected)
+        return "".join(html), blocks
+
+    for _ in range(200):
+        h, blocks = build()
+        want = "\n".join(b for b in blocks if b)
+        assert extract_text(h.encode()) == want, h
