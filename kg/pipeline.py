@@ -226,6 +226,114 @@ class Orchestrator:
         return io.read_table(self.spark, os.path.join(base, "*"))
 
 
+# ------------------------------------------------------- fused fast path
+
+
+def fused_triples_raw(
+    sentences: DataFrame, aliases: DataFrame, entity_vecs: DataFrame
+) -> DataFrame:
+    """Zero-exchange triples_raw: spans stay on their sentence row
+    (they were produced there), pairs form via Catalyst nested
+    transforms over the span arrays, and linking is two broadcast
+    joins — the corpus is never shuffled before the final dedup.
+
+    Set-equivalent to the staged K3..K6 path (inner verdict joins
+    commute with pair formation; relation rules read only the text):
+    asserted in tests/test_pipeline.py.
+    """
+    from kg.link import rank_alias_verdicts
+    from kg.ner.model import _detect_spans_udf
+    from kg.relations import CONFIDENCE_THRESHOLD, RELATION_RULES
+
+    spans = sentences.select(
+        "url", "sent_id", "words", _detect_spans_udf(F.col("words")).alias("sp")
+    )
+    n = F.size(F.col("sp.begins"))
+    idx = F.sequence(F.lit(0), n - 1)
+    at = lambda arr, i: F.element_at(F.col(arr), i + 1)
+
+    def pair_struct(i, j):
+        return F.struct(
+            at("sp.ent_types", i).alias("subj_type"),
+            at("sp.begins", i).alias("subj_begin"),
+            at("sp.ends", i).alias("subj_end"),
+            at("sp.ent_types", j).alias("obj_type"),
+            at("sp.begins", j).alias("obj_begin"),
+            at("sp.ends", j).alias("obj_end"),
+        )
+
+    pairs_arr = F.when(
+        n >= 2,
+        F.filter(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        idx,
+                        lambda j: F.when(i < j, pair_struct(i, j)),
+                    ),
+                )
+            ),
+            lambda p: p.isNotNull(),
+        ),
+    )
+    exploded = spans.select(
+        "url", "sent_id", "words", F.explode(pairs_arr).alias("p")
+    )
+    surface = lambda b, e: F.concat_ws(
+        " ", F.slice(F.col("words"), F.col(b) + 1, F.col(e) - F.col(b))
+    )
+    pe = exploded.select(
+        "url",
+        "sent_id",
+        F.col("p.subj_begin").alias("subj_begin"),
+        F.col("p.subj_end").alias("subj_end"),
+        F.col("p.obj_begin").alias("obj_begin"),
+        F.col("p.obj_end").alias("obj_end"),
+        surface("p.subj_begin", "p.subj_end").alias("subj_surface"),
+        surface("p.obj_begin", "p.obj_end").alias("obj_surface"),
+        F.lower(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("words"),
+                    F.col("p.subj_end") + 1,
+                    F.greatest(
+                        F.col("p.obj_begin") - F.col("p.subj_end"), F.lit(0)
+                    ),
+                ),
+            )
+        ).alias("between"),
+    )
+    pred_expr = F.lit(None).cast("string")
+    conf_expr = F.lit(None).cast("double")
+    for text, pred, conf in reversed(RELATION_RULES):
+        pred_expr = F.when(F.col("between") == text, F.lit(pred)).otherwise(pred_expr)
+        conf_expr = F.when(F.col("between") == text, F.lit(conf)).otherwise(conf_expr)
+    matched = (
+        pe.withColumn("pred", pred_expr)
+        .withColumn("confidence", conf_expr)
+        .filter(F.col("pred").isNotNull())
+        .filter(F.col("confidence") >= CONFIDENCE_THRESHOLD)
+    )
+    verdict = rank_alias_verdicts(aliases, entity_vecs, k=1)
+    sv = verdict.select(
+        F.col("alias").alias("s_alias"), F.col("entity_id").alias("subj_entity")
+    )
+    ov = verdict.select(
+        F.col("alias").alias("o_alias"), F.col("entity_id").alias("obj_entity")
+    )
+    return (
+        matched.join(
+            F.broadcast(sv), F.lower(F.col("subj_surface")) == F.col("s_alias")
+        )
+        .join(F.broadcast(ov), F.lower(F.col("obj_surface")) == F.col("o_alias"))
+        .select(
+            "subj_entity", "pred", "obj_entity", "url", "sent_id", "confidence"
+        )
+    )
+
+
 # ------------------------------------------------------------ pipeline
 
 
@@ -235,9 +343,18 @@ def run_pipeline(
     aliases: DataFrame,
     entity_vecs: DataFrame,
     checkpoint_root: str | None = None,
+    fused: bool = False,
 ) -> dict[str, DataFrame]:
     """Full K1..K8. With ``checkpoint_root`` every stage is a
-    materialized resumable table; without, it is one lazy plan."""
+    materialized resumable table; without, it is one lazy plan.
+    ``fused=True`` (lazy only) takes the zero-exchange triples path —
+    the corpus is never shuffled before the final dedup (maximum
+    throughput; stage tables are not produced)."""
+    if fused and not checkpoint_root:
+        sents = stage_sentences(stage_extract(pages))
+        traw = fused_triples_raw(sents, aliases, entity_vecs)
+        comps = stage_components(aliases)
+        return {"triples": stage_triples(traw, comps), "triples_raw": traw}
     if checkpoint_root:
         orch = Orchestrator(spark, checkpoint_root)
         text = orch.run_stage("text_extracted", lambda: stage_extract(pages))

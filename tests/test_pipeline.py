@@ -115,3 +115,29 @@ def test_salting_preserves_multiset(spark, clean_pages):
     )
     n_parts = hot.distinct().count()
     assert n_parts >= 4, f"hot host only spread over {n_parts} partitions"
+
+
+def test_fused_path_equals_staged(spark, clean_pages):
+    """The zero-exchange fused plan must produce exactly the staged
+    path's triples (inner verdict joins commute with pair formation)."""
+    a = (
+        run_pipeline(
+            spark, clean_pages, FX.aliases_df(spark), FX.entity_vecs_df(spark)
+        )["triples"]
+        .select("subj", "pred", "obj", "url", "sent_id")
+        .distinct()
+    )
+    b = (
+        run_pipeline(
+            spark,
+            clean_pages,
+            FX.aliases_df(spark),
+            FX.entity_vecs_df(spark),
+            fused=True,
+        )["triples"]
+        .select("subj", "pred", "obj", "url", "sent_id")
+        .distinct()
+    )
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+    assert a.count() == b.count()
