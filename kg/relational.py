@@ -1055,3 +1055,41 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "q_null_safe_join",
+    """
+    WITH enriched AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_acctbal < 0 THEN NULL ELSE c.c_mktsegment END
+               AS seg_or_null
+      FROM customer c)
+    SELECT a.seg_or_null,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM enriched a JOIN enriched b
+      ON a.seg_or_null IS NOT DISTINCT FROM b.seg_or_null
+     AND a.c_custkey < b.c_custkey
+    GROUP BY a.seg_or_null
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other, unlike plain equality."""
+    c = T(spark, sf_dir, "customer")
+    e = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_or_null"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.seg_or_null").eqNullSafe(F.col("b.seg_or_null"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .groupBy(F.col("a.seg_or_null").alias("seg_or_null"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

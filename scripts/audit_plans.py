@@ -71,6 +71,15 @@ def main() -> int:
     td = R.QUERIES["q_top_docs"](spark, sf_dir)
     check("global top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in plan_of(td))
 
+    # --- theta join -> broadcast nested loop ------------------------------
+    from kg import similarity as S  # registered via import above
+
+    bf = R.QUERIES["ann_bruteforce_topk"](spark, sf_dir)
+    check(
+        "broadcast cross join compiles to BroadcastNestedLoopJoin",
+        "BroadcastNestedLoopJoin" in plan_of(bf),
+    )
+
     # --- no Python in relational plans ----------------------------------
     for name in [
         "q1_pricing_summary", "q6_revenue_filter", "q5_region_revenue",

@@ -4,6 +4,8 @@ the same parquet fixtures, compare row count + schema + an
 order-insensitive value hash.
 
 Usage: python scripts/check_oracles.py [sf_dir] [name ...]
+Env: KG_VANILLA_SESSION=1 uses a default-config SparkSession (no kg
+tuning) to mimic the driver's own session.
 """
 
 from __future__ import annotations
@@ -37,10 +39,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from kg.session import build_session
     import __spark_entry__ as entrymod
 
-    spark = build_session(master="local[8]", shuffle_partitions=16)
+    if os.environ.get("KG_VANILLA_SESSION"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from kg.session import build_session
+
+        spark = build_session(master="local[8]", shuffle_partitions=16)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
