@@ -69,15 +69,17 @@ def _bench_pages(spark, n_pages: int) -> str:
 
 def _run_kg_pipeline(spark, n_pages: int) -> tuple[float, int]:
     """Flagship KG pipeline over the pre-generated bench pages
-    (~50k, FIXTURES.md §2). Returns (seconds, n_pages)."""
+    (~50k, FIXTURES.md §2). Returns (seconds, n_pages).
+    KG_FUSED=1 uses the zero-exchange fused plan."""
     from kg import fixtures as FX
     from kg.pipeline import run_pipeline
 
+    fused = bool(os.environ.get("KG_FUSED"))
     pages = spark.read.parquet(_bench_pages(spark, n_pages))
     aliases = FX.aliases_df(spark)
     evecs = FX.entity_vecs_df(spark)
     t0 = time.monotonic()
-    res = run_pipeline(spark, pages, aliases, evecs)
+    res = run_pipeline(spark, pages, aliases, evecs, fused=fused)
     res["triples"].write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0, n_pages
 
@@ -103,6 +105,8 @@ def main() -> None:
     for name, fn in _bench_queries().items():
         queries[name] = round(_run_query(spark, fn, sf_dir), 3)
 
+    # one warm-up at reduced size (JIT/codegen — discarded), then timed
+    _run_kg_pipeline(spark, max(N_BENCH_PAGES // 5, 1000))
     kg_sec, n_pages = _run_kg_pipeline(spark, N_BENCH_PAGES)
     queries["kg_pipeline_sec"] = round(kg_sec, 3)
     queries["kg_pipeline_docs_per_sec"] = round(n_pages / kg_sec, 1)

@@ -163,3 +163,70 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall vs brute force gated in tests/test_similarity.py
     e = T(spark, sf_dir, "embeddings")
     return lsh_topk(_fixture_corpus(e), _fixture_queries(e), k=5)
+
+
+def ivf_assign(corpus: DataFrame, n_cells: int = 16) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer without iterative k-means: centroids are a
+    deterministic stride sample of the corpus (vec_id order), each
+    vector assigned to its nearest centroid by cosine. Returns
+    (centroids(cell_id, cv), assigned(vec_id, v, cell_id)). One
+    broadcast join; at 10^12 scale the centroid table stays
+    broadcast-sized."""
+    # deterministic hash-ordered sample via TakeOrderedAndProject
+    # (distributed top-k; a global row_number window over the corpus
+    # would funnel everything through one task)
+    sampled = corpus.orderBy(F.xxhash64("vec_id")).limit(n_cells)
+    centroids = sampled.select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("cell_id"),
+        F.col("v").alias("cv"),
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", _cosine("v", "cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest cells per query, exact
+    cosine only within probed cells. Complements lsh_topk (the other
+    scale path); recall vs brute force gated in tests."""
+    centroids, assigned = ivf_assign(corpus, n_cells)
+    qscored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", _cosine("qv", "cv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(_cosine("qv", "v"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@query("ann_ivf_topk")  # rows-only: stride centroids not SQL-practical
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_topk(_fixture_corpus(e), _fixture_queries(e), k=5)

@@ -52,3 +52,18 @@ def test_lsh_recall_vs_bruteforce(spark):
     ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
     recall = len(bf_set & ann_set) / len(bf_set)
     assert recall >= 0.7, recall
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from kg.similarity import ivf_topk
+
+    corpus = _vectors(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(corpus, queries, k=5)
+    ivf = ivf_topk(corpus, queries, k=5, n_cells=10, nprobe=4)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ivf_set = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, recall
