@@ -258,7 +258,7 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by ``block_col``
     (IVF-style coarse cell; full cross product never materializes)."""
-    from kg.link import cosine_expr
+    from kg.similarity import _cosine
 
     e = embeddings.select(
         "vec_id", block_col, F.col("embedding").cast("array<double>").alias("v")
@@ -269,18 +269,10 @@ def embedding_near_dup(
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col(block_col).alias("blk"), F.col("v").alias("vb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(dot / (norm("va") * norm("vb")), 4))
+        .withColumn("cos_sim", F.round(_cosine("va", "vb"), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -316,7 +308,8 @@ def embedding_near_dup(
     FROM common c
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common) >= 0.2
+    WHERE ROUND(CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common), 4)
+          >= 0.2
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,8 +336,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +367,7 @@ def minhash_signatures_udf(
         for bdf in batches:
             sigs = []
             for text in bdf["text"]:
-                toks = text.split()
+                toks = text.split(" ")  # match shingles_df's F.split(text, ' ')
                 sh = {
                     " ".join(toks[i : i + n])
                     for i in range(max(len(toks) - n + 1, 0))

@@ -51,10 +51,10 @@ class _Model:
     _instance: "_Model | None" = None
 
     def __init__(self) -> None:
-        W = V.model_weights()
-        # pad row so padded gathers contribute zero logits
-        self.W_ext = np.vstack([W, np.zeros((1, V.N_LABELS), dtype=W.dtype)])
-        self.pad_feature = V.FEATURE_DIM
+        # sentence-level padding uses a per-batch -1e9 row appended in
+        # forward_tags; no feature-level pad row is needed (all
+        # feature indices are already % FEATURE_DIM)
+        self.W = V.model_weights()
         self.vocab = V.piece_vocab()
         self.labels = np.array(V.LABELS)
         self._word_pieces: dict[str, list[str]] = {}
@@ -97,7 +97,7 @@ class _Model:
             if cached is None:
                 feats = V.piece_features(p)
                 # logits = onehot(features) @ W, as a row gather-sum
-                cached = self.W_ext[feats].sum(axis=0)
+                cached = self.W[feats].sum(axis=0)
                 self._piece_logits[p] = cached
             rows[i] = cached
         return rows

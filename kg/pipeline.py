@@ -221,7 +221,8 @@ class Orchestrator:
 
     def metrics(self) -> DataFrame | None:
         base = os.path.join(self.root, "_metrics")
-        if not os.path.isdir(base):
+        # Hadoop FS check (base may be hdfs://, like _done)
+        if not io.fs_exists(self.spark, base):
             return None
         return io.read_table(self.spark, os.path.join(base, "*"))
 

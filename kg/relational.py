@@ -904,7 +904,9 @@ def q_asof_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouped_agg_udaf",
     """
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+                 / SUM(CAST(ROUND(l_quantity*100) AS BIGINT)), 4)
              AS weighted_avg_price
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -916,15 +918,20 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # explicit GROUPED_AGG: Spark 4 doesn't infer the aggregate
-    # signature from `-> float` annotations
+    # signature from `-> float` annotations. The kernel sums exact
+    # integer cents (int64) so the result is independent of
+    # partial-aggregation order, then divides once.
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def weighted_mean(price, qty):
-        return float((price * qty).sum() / qty.sum())
+    def weighted_mean(price_c, qty_c):
+        return float(
+            (price_c.astype("int64") * qty_c.astype("int64")).sum()
+            / qty_c.astype("int64").sum()
+        )
 
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            weighted_mean(cents("l_extendedprice"), cents("l_quantity")), 4
         ).alias("weighted_avg_price")
     )
 
@@ -969,20 +976,26 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     """
     SELECT l_linenumber,
-           ROUND(SUM(sqrt(l_quantity)), 6) AS sum_sqrt_qty,
-           ROUND(SUM(abs(l_discount - 0.05)), 6) AS sum_abs_disc,
-           ROUND(SUM(ln(l_extendedprice)), 4) AS sum_log_price
+           CAST(SUM(CAST(ROUND(sqrt(l_quantity) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_sqrt_qty_u,
+           CAST(SUM(CAST(ROUND(abs(l_discount - 0.05) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_abs_disc_u,
+           CAST(SUM(CAST(ROUND(ln(l_extendedprice) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_log_price_u
     FROM lineitem GROUP BY l_linenumber
     """,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions with order-independent aggregation: each row's
+    sqrt/abs/ln rounds to exact integer micro-units BEFORE the sum
+    (summing raw doubles is partial-aggregation-order dependent and
+    can flip a final ROUND across engines/partitionings)."""
     li = T(spark, sf_dir, "lineitem")
+    u = lambda c: F.round(c * 1_000_000).cast("long")
     return li.groupBy("l_linenumber").agg(
-        F.round(F.sum(F.sqrt("l_quantity")), 6).alias("sum_sqrt_qty"),
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 6).alias(
-            "sum_abs_disc"
-        ),
-        F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_log_price"),
+        F.sum(u(F.sqrt("l_quantity"))).alias("sum_sqrt_qty_u"),
+        F.sum(u(F.abs(F.col("l_discount") - 0.05))).alias("sum_abs_disc_u"),
+        F.sum(u(F.log("l_extendedprice"))).alias("sum_log_price_u"),
     )
 
 

@@ -35,15 +35,38 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+# one session-scoped temp root (removed at interpreter exit) instead
+# of unbounded per-call mkdtemp leakage across queries/bench runs
+_TMP_ROOT: str | None = None
+_SRC_DIRS: dict[str, str] = {}
+
+
+def _tmp_root() -> str:
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        import atexit
+        import shutil
+
+        _TMP_ROOT = tempfile.mkdtemp(prefix="kgstream_root_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, True)
+    return _TMP_ROOT
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_tmp_root())
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The fixture is a
     single parquet file but file sources need a directory, so it is
-    symlinked into a temp dir (a live pipeline would point this at
-    the ingest directory and new files stream in)."""
+    symlinked into a session-scoped temp dir (a live pipeline would
+    point this at the ingest directory and new files stream in)."""
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = tempfile.mkdtemp(prefix="kgstream_src_")
-    os.symlink(src, os.path.join(d, "events.parquet"))
+    d = _SRC_DIRS.get(src)
+    if d is None:
+        d = _scratch("src_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        _SRC_DIRS[src] = d
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -58,10 +81,7 @@ def _run_available_now(result: DataFrame, name: str) -> DataFrame:
         result.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"kgstream_{name}_"),
-        )
+        .option("checkpointLocation", _scratch(f"ck_{name}_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -184,8 +204,8 @@ def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-sink path: stream -> parquet files + checkpointLocation
     (append mode; the durable-output counterpart of the memory sink).
     Returns the sunk rows read back."""
-    out = tempfile.mkdtemp(prefix="kgstream_out_")
-    ck = tempfile.mkdtemp(prefix="kgstream_ck_")
+    out = _scratch("out_")
+    ck = _scratch("ck_sink_")
     ev = events_stream(spark, sf_dir)
     enriched = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

@@ -144,7 +144,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_lang_id")  # rows-only: heuristic gated in pytest
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
+    # project before the Arrow UDF (pruning barrier): only the columns
+    # that must cross the boundary
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return lang_id(d).select("doc_id", "lang", "pred_lang")
 
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import shutil
 import sys
 import os
 
@@ -54,10 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.stage != "all":
         if args.stage not in STAGE_ORDER:
             ap.error(f"unknown stage {args.stage!r}; one of {STAGE_ORDER}")
+        # Hadoop FS API, not shutil: the checkpoint root may be
+        # hdfs:// or s3a:// (os.path would silently no-op there and
+        # every stage would be wrongly skipped as complete)
+        from kg import io
+
         for s in STAGE_ORDER[STAGE_ORDER.index(args.stage):]:
             path = os.path.join(args.out, s)
-            if os.path.exists(path):
-                shutil.rmtree(path)
+            if io.fs_exists(spark, path):
+                io.fs_delete(spark, path)
 
     if args.pages:
         pages = spark.read.parquet(args.pages)

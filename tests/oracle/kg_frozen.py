@@ -131,9 +131,12 @@ class FrozenOracle:
     # ---- per-page pipeline ------------------------------------------
     def mentions(self, text: str) -> list[dict]:
         out = []
-        for sid, sent in enumerate(
-            s.strip() for s in SENTENCE_RE.split(text) if s.strip()
-        ):
+        # sent_id = position in the raw split INCLUDING empty segments
+        # (mirrors Spark's posexplode-then-filter exactly)
+        for sid, raw in enumerate(SENTENCE_RE.split(text)):
+            sent = raw.strip()
+            if not sent:
+                continue
             words = sent.split()
             tags = [self.labels.get(w, "O") for w in words]
             for (t, b, e) in decode_bio_frozen(tags):
