@@ -72,8 +72,12 @@ def _kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg import fixtures as FX
     from kg.pipeline import stage_components
+    from pyspark.sql import functions as F
 
-    return stage_components(FX.aliases_df(spark))
+    # full entity registry as the vertex set, so singleton components
+    # appear too (not just the same-as-edge-connected entities)
+    verts = FX.registry_df(spark).select(F.col("entity_id").alias("id"))
+    return stage_components(FX.aliases_df(spark), registry_ids=verts)
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
