@@ -27,13 +27,21 @@ from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Local-only entries: the driver scores at most 50 queries() rows, so
+# near-duplicate operator demos are kept OUT of the driver registry
+# (their operators stay driver-evidenced by a merged query or a green
+# CORRECTNESS_r01 row) but remain fully oracle-checked by
+# scripts/check_oracles.py and pytest.
+EXTRA: set[str] = set()
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, extra: bool = False):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if extra:
+            EXTRA.add(name)
         return fn
 
     return deco
@@ -141,6 +149,7 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    extra=True,
 )
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
@@ -163,6 +172,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    extra=True,
 )
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
@@ -185,6 +195,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
+    extra=True,
 )
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
@@ -438,6 +449,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s), 4) AS avg_gap_s
     FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
     """,
+    extra=True,
 )
 def q_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
@@ -553,6 +565,7 @@ def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
     """,
+    extra=True,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers ordering in 1996 but not 1997 (EXCEPT distinct)."""
@@ -602,19 +615,25 @@ def q_union_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
                 AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k_typed,
            ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1)
                 AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON prop extraction (Spark: get_json_object; oracle uses a
-    regexp so DuckDB needs no JSON extension)."""
+    """JSON prop extraction both ways in one plan: get_json_object
+    (string path) AND from_json with an explicit schema (typed
+    struct path) — sum_k and sum_k_typed must agree. The oracle uses
+    a regexp so DuckDB needs no JSON extension."""
     ev = T(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    k_typed = F.from_json("props", "k BIGINT")["k"]
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
+        F.sum(k_typed).alias("sum_k_typed"),
         F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
     )
 
@@ -654,6 +673,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS chars_per_token
     FROM documents GROUP BY lang
     """,
+    extra=True,
 )
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality-stat shape over the documents table."""
@@ -767,6 +787,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
     """,
+    extra=True,
 )
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
@@ -792,6 +813,7 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(p_name) AS BIGINT) AS name_len
     FROM part
     """,
+    extra=True,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part")
@@ -831,7 +853,7 @@ def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: HLL sketches differ by engine
+@query("q_approx_distinct", extra=True)  # rows-only: HLL sketches differ by engine
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to the exact count; the
     query itself asserts the relative error bound."""
@@ -877,23 +899,18 @@ def q_asof_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized as-of: purchase values at their own rows, shifted
+        # one row (strictly-earlier), forward-filled — the pandas
+        # equivalent of LAST_VALUE(...) IGNORE NULLS ROWS BETWEEN
+        # UNBOUNDED PRECEDING AND 1 PRECEDING
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        prev = None
-        out = []
-        for _, row in pdf.iterrows():
-            if row["event_type"] == "click":
-                out.append(
-                    {
-                        "event_id": row["event_id"],
-                        "user_id": row["user_id"],
-                        "prev_purchase_value": prev,
-                    }
-                )
-            if row["event_type"] == "purchase":
-                prev = row["value"]
-        return pd.DataFrame(
-            out, columns=["event_id", "user_id", "prev_purchase_value"]
-        )
+        pv = pdf["value"].where(pdf["event_type"] == "purchase")
+        pdf["prev_purchase_value"] = pv.shift(1).ffill()
+        out = pdf.loc[
+            pdf["event_type"] == "click",
+            ["event_id", "user_id", "prev_purchase_value"],
+        ]
+        return out
 
     return ev.groupBy("user_id").applyInPandas(
         asof, "event_id long, user_id long, prev_purchase_value double"
@@ -943,6 +960,7 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
     FROM events WHERE event_type = 'error'
     """,
+    extra=True,
 )
 def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parsing: from_json with an explicit schema (the
@@ -963,6 +981,7 @@ def q_events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT ALL
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
     """,
+    extra=True,
 )
 def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset EXCEPT ALL (bag semantics, vs q_set_except's set)."""
@@ -984,6 +1003,7 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS sum_log_price_u
     FROM lineitem GROUP BY l_linenumber
     """,
+    extra=True,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions with order-independent aggregation: each row's
@@ -1009,6 +1029,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE p.user_id = e.user_id
                           AND p.event_type = 'purchase')) t
     """,
+    extra=True,
 )
 def q_anti_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join with (typically) non-empty output: users who click
@@ -1105,4 +1126,126 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.seg_or_null").alias("seg_or_null"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# =====================================================================
+# round-2 merged/new driver entries (VERDICT r1 item 9 + registry trim)
+# =====================================================================
+
+
+@query(
+    "q_set_ops",
+    """
+    SELECT 'except_distinct' AS op, CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t1
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t2
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t3
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operators in one driver entry (EXCEPT distinct,
+    INTERSECT, EXCEPT ALL bag semantics), tagged and unioned — merges
+    q_set_except / q_set_intersect / q_except_all (kept as local
+    extras) into a single CORRECTNESS row."""
+    o = T(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    exc = y96.subtract(y97).select(
+        F.lit("except_distinct").alias("op"), "o_custkey"
+    )
+    itc = y96.intersect(y97).select(F.lit("intersect").alias("op"), "o_custkey")
+    exa = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+        .select(F.lit("except_all").alias("op"), "o_custkey")
+    )
+    return exc.unionAll(itc).unionAll(exa)
+
+
+@query(
+    "q_scalar_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_type, 1, 5) AS type5,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(ROUND(sqrt(p_retailprice) * 1000000) AS BIGINT) AS sqrt_price_u,
+           CAST(ROUND(ln(p_retailprice) * 1000000) AS BIGINT) AS log_price_u,
+           CAST(ROUND(abs(p_retailprice - 1000.0) * 100) AS BIGINT) AS absdiff_c
+    FROM part
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math scalar functions in one per-row projection
+    (merges q_string_funcs / q_math_funcs, kept as local extras).
+    Per-row rounding to integer units keeps the result engine- and
+    order-independent."""
+    p = T(spark, sf_dir, "part")
+    u = lambda c: F.round(c * 1_000_000).cast("long")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("lev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        u(F.sqrt("p_retailprice")).alias("sqrt_price_u"),
+        u(F.log("p_retailprice")).alias("log_price_u"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0) * 100)
+        .cast("long")
+        .alias("absdiff_c"),
+    )
+
+
+@query(
+    "q_right_outer_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent_orders
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer survives, zero-filled count
+    for customers with no urgent orders (closes the §2.C right-outer
+    row; left/full outer live in q_outer_join_histogram /
+    per_type_prf)."""
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_urgent_orders"))
     )

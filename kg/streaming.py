@@ -179,9 +179,22 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(spark, sf_dir)
 
 
-@query("stream_sliding_value")  # rows-only (overlapping windows are
+@query(
+    "stream_sliding_value",
+    """
+    SELECT strftime(date_trunc('hour', ts) - offs.o * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+    GROUP BY 1
+    """,
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL-expressible too, but kept as the plain streaming demo)
+    # a 2h-wide window sliding every 1h (epoch-aligned, same as
+    # date_trunc('hour')) contains an event iff the window start is
+    # floor_hour(ts) or floor_hour(ts) - 1h — hence the 2-offset cross
+    # join in the oracle
     return sliding_hourly_value(spark, sf_dir)
 
 

@@ -50,8 +50,11 @@ def main() -> int:
         from kg.session import build_session
 
         spark = build_session(master="local[8]", shuffle_partitions=16)
-    queries = entrymod.queries()
+    # local gate checks the driver-facing 50 AND the extra tier
+    queries = entrymod.all_queries()
     oracles = entrymod.oracle_sql()
+    n_driver = len(entrymod.queries())
+    print(f"{n_driver} driver-facing queries, {len(queries)} total with extras")
 
     con = duckdb.connect()
     for t in TABLES:
