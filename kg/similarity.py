@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from kg.relational import T, query
 
@@ -167,27 +167,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_assign(corpus: DataFrame, n_cells: int = 16) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer without iterative k-means: centroids are a
-    deterministic stride sample of the corpus (vec_id order), each
-    vector assigned to its nearest centroid by cosine. Returns
-    (centroids(cell_id, cv), assigned(vec_id, v, cell_id)). One
-    broadcast join; at 10^12 scale the centroid table stays
-    broadcast-sized."""
+    deterministic hash-ordered sample of the corpus, each vector
+    assigned to its nearest centroid by cosine. Returns
+    (centroids(cell_id, cv), assigned(vec_id, v, cell_id)).
+
+    Assignment is a per-row argmax against the centroid matrix inside
+    ONE vectorized pandas UDF — zero shuffle of the corpus (the r1
+    shape ranked corpus x n_cells rows through a Window.partitionBy
+    (vec_id), an avoidable corpus-sized exchange; audited in
+    scripts/audit_plans.py). The centroid table is dictionary-sized
+    (n_cells rows), so collecting it at plan-build time is the same
+    bounded-driver-work class as the union-find shortcut."""
+    spark = corpus.sparkSession
     # deterministic hash-ordered sample via TakeOrderedAndProject
     # (distributed top-k; a global row_number window over the corpus
     # would funnel everything through one task)
-    sampled = corpus.orderBy(F.xxhash64("vec_id")).limit(n_cells)
-    centroids = sampled.select(
-        F.row_number().over(Window.orderBy("vec_id")).alias("cell_id"),
-        F.col("v").alias("cv"),
+    crows = sorted(
+        corpus.orderBy(F.xxhash64("vec_id")).limit(n_cells).collect(),
+        key=lambda r: r["vec_id"],
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", _cosine("v", "cv")
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    centroids = spark.createDataFrame(
+        [(i + 1, [float(x) for x in C[i]]) for i in range(len(crows))],
+        "cell_id int, cv array<double>",
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "v", "cell_id")
+
+    @pandas_udf(IntegerType())
+    def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            # argmax returns the FIRST max -> lowest cell_id tie-break
+            yield pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32) + 1)
+
+    assigned = corpus.select(
+        "vec_id", "v", nearest_cell(F.col("v")).alias("cell_id")
     )
     return centroids, assigned
 
@@ -213,7 +228,7 @@ def ivf_topk(
         .select("query_id", "qv", "cell_id")
     )
     cand = (
-        probes.join(assigned, "cell_id")
+        assigned.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )

@@ -80,6 +80,19 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in plan_of(bf),
     )
 
+    # --- IVF assignment: no corpus shuffle --------------------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", emb["embedding"].cast("array<double>").alias("v")
+    )
+    _, assigned = S.ivf_assign(corpus, n_cells=8)
+    pa = plan_of(assigned)
+    check(
+        "ivf assignment has zero Exchange (per-row argmax, no window)",
+        "Exchange" not in pa and "Window" not in pa,
+        pa[:400],
+    )
+
     # --- no Python in relational plans ----------------------------------
     for name in [
         "q1_pricing_summary", "q6_revenue_filter", "q5_region_revenue",

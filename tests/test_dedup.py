@@ -98,3 +98,60 @@ def test_simhash_near_dups_share_bucket(spark):
         assert hamming <= 8, (i, hamming)
     # exact dup: identical simhash and bucket
     assert sims[0] == sims[2000]
+
+
+def test_signature_paths_bit_identical(spark):
+    """minhash_signatures (pure Catalyst) and minhash_signatures_udf
+    (Arrow hot path) share the with_shingle_hashes expression, so
+    their signatures must be bit-identical on every doc with >= n
+    tokens; short docs get the [P]*k sentinel from the UDF path."""
+    from kg.dedup import MERSENNE_P, minhash_signatures_udf
+
+    docs = _planted_docs(spark)
+    short = spark.createDataFrame(
+        [(9001, "one two", "en", "src0", 7), (9002, "", "en", "src0", 0)],
+        docs.schema,
+    )
+    docs = docs.unionByName(short)
+    cat = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    udf = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures_udf(docs).collect()}
+    assert set(cat) <= set(udf)
+    assert all(cat[d] == udf[d] for d in cat)
+    assert udf[9001] == tuple([MERSENNE_P] * 32)
+    assert udf[9002] == tuple([MERSENNE_P] * 32)
+
+
+def test_stop_shingle_cap(spark):
+    """A boilerplate shingle present in EVERY doc must be dropped from
+    the inverted index once its posting list exceeds max_postings:
+    unrelated docs sharing only the boilerplate produce no pair, while
+    a planted near-dup pair still surfaces (its jaccard slightly
+    underestimated because sizes are pre-cap). With the cap above the
+    posting size, results equal the uncapped formulation."""
+    boiler = "click here to subscribe now"
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(30)]
+        rows.append((i, boiler + " " + " ".join(toks), "en", "s", 0))
+    # planted near-dup of doc 0 (differs by one token)
+    t0 = rows[0][1].split()
+    t0[15] = "CHANGED"
+    rows.append((7000, " ".join(t0), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_postings=8).collect()
+    }
+    assert (0, 7000) in capped
+    # boilerplate-only overlaps never reach the join output
+    assert all(a == 0 and b == 7000 for a, b in capped)
+    # cap above every posting size == uncapped result
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_postings=10**6).collect()
+    }
+    assert (0, 7000) in uncapped
