@@ -43,6 +43,7 @@ DRIVER_ORDER = [
     "kg_triples",
     "conll_eval_prf",
     "udtf_bio_decode",
+    "graph_components",
     # --- text analysis (exact oracles first) -------------------------
     "text_quality",
     "text_fingerprint",
@@ -90,7 +91,6 @@ DRIVER_ORDER = [
     "q_union_mixed",
     "q_set_ops",
     "q_events_json",
-    "q_events_daily",
     "q_grouping_sets_sql",
     "q_scalar_funcs",
 ]
@@ -202,6 +202,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_triples"] = _kg_triples
     q["conll_eval_prf"] = _conll_eval
     q["udtf_bio_decode"] = udtf_bio_decode_query
+
+    # K7 with an EXACT recursive-CTE oracle (chain graph over the
+    # customer fixture; distributed loop forced)
+    from kg.graph import GRAPH_COMPONENTS_ORACLE, graph_components_query
+
+    q["graph_components"] = graph_components_query
+    relational.ORACLES.setdefault("graph_components", GRAPH_COMPONENTS_ORACLE)
     return q
 
 

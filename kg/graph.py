@@ -158,3 +158,60 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ------------------------------------------------------- driver query
+
+
+def _customer_chain_edges(customers: DataFrame) -> DataFrame:
+    """Deterministic chain graph over the customer fixture: consecutive
+    custkeys within each (c_nationkey, c_mktsegment) group are linked.
+    Chains are the WORST case for naive label propagation (O(n) rounds
+    without pointer jumping), so this is the shape that actually
+    exercises the O(log n) loop."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    nxt = F.lead("c_custkey").over(w)
+    return (
+        customers.select("c_custkey", "c_nationkey", "c_mktsegment")
+        .withColumn("dst", nxt)
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("c_custkey").alias("src"), F.col("dst"))
+    )
+
+
+def graph_components_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry with an EXACT DuckDB oracle (recursive-CTE
+    transitive closure): connected components over the customer chain
+    graph, distributed loop forced (small_graph_edges=0) so the driver
+    scores the min-label + pointer-jump path itself, not the
+    union-find shortcut."""
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = _customer_chain_edges(customers)
+    verts = customers.select(F.col("c_custkey").alias("id"))
+    comp = connected_components(edges, vertices=verts, small_graph_edges=0)
+    return comp.select(F.col("id").alias("c_custkey"), "component")
+
+
+GRAPH_COMPONENTS_ORACLE = """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS src,
+             LEAD(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                   ORDER BY c_custkey) AS dst
+      FROM customer
+      QUALIFY dst IS NOT NULL
+    ),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION ALL
+      SELECT dst AS u, src AS v FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id
+    )
+    SELECT id AS c_custkey, MIN(r) AS component
+    FROM reach GROUP BY id
+"""

@@ -345,16 +345,23 @@ def run_pipeline(
     entity_vecs: DataFrame,
     checkpoint_root: str | None = None,
     fused: bool = False,
+    components: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full K1..K8. With ``checkpoint_root`` every stage is a
     materialized resumable table; without, it is one lazy plan.
     ``fused=True`` (lazy only) takes the zero-exchange triples path —
     the corpus is never shuffled before the final dedup (maximum
-    throughput; stage tables are not produced)."""
+    throughput; stage tables are not produced).
+
+    ``components``: pre-built K7 component map. The component map is
+    a function of the alias DICTIONARY only (corpus-independent), so
+    a production deployment builds it once per dictionary update and
+    reuses it across every corpus batch — pass it here to do that;
+    None rebuilds it inline."""
     if fused and not checkpoint_root:
         sents = stage_sentences(stage_extract(pages))
         traw = fused_triples_raw(sents, aliases, entity_vecs)
-        comps = stage_components(aliases)
+        comps = components if components is not None else stage_components(aliases)
         return {"triples": stage_triples(traw, comps), "triples_raw": traw}
     if checkpoint_root:
         orch = Orchestrator(spark, checkpoint_root)
@@ -367,7 +374,12 @@ def run_pipeline(
         traw = orch.run_stage(
             "triples_raw", lambda: stage_triples_raw(linked, sents)
         )
-        comps = orch.run_stage("components", lambda: stage_components(aliases))
+        comps = orch.run_stage(
+            "components",
+            lambda: components
+            if components is not None
+            else stage_components(aliases),
+        )
         triples = orch.run_stage(
             "triples",
             lambda: stage_triples(traw, comps),
@@ -392,7 +404,7 @@ def run_pipeline(
         mentions = stage_mentions(sents)
         linked = stage_linked(mentions, aliases, entity_vecs)
         traw = stage_triples_raw(linked, sents)
-        comps = stage_components(aliases)
+        comps = components if components is not None else stage_components(aliases)
         triples = stage_triples(traw, comps)
         result = {
             "text_extracted": text,

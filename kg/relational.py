@@ -646,6 +646,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
     """,
+    extra=True,  # date funcs stay driver-evidenced by
+    # stream_tumbling_daily (same day-bucketing) + the green r1 row
 )
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
@@ -1249,3 +1251,45 @@ def q_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_urgent_orders"))
     )
+
+
+@query(
+    "q_io_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value*100) AS BIGINT) AS value_c,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events WHERE event_type = 'purchase'
+    """,
+    extra=True,  # local-only: source/sink format coverage, not a new
+    # relational operator (driver registry stays at 50)
+)
+def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + CSV + ORC source/sink round-trip: the purchase slice is
+    written to all three formats and read back with explicit schemas;
+    the returned rows are the three-way intersection, so the exact
+    oracle passes only if EVERY format preserves every value.
+    Timestamps and money are stringified/integerized BEFORE the write
+    so the comparison is lossless across text formats."""
+    import tempfile
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            cents("value").alias("value_c"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+    schema = "event_id long, user_id long, event_type string, value_c long, ts_s string"
+    base = tempfile.mkdtemp(prefix="kg_io_rt_")
+    ev.write.mode("overwrite").json(f"{base}/j")
+    ev.write.mode("overwrite").option("header", True).csv(f"{base}/c")
+    ev.write.mode("overwrite").orc(f"{base}/o")
+    j = spark.read.schema(schema).json(f"{base}/j")
+    c = spark.read.schema(schema).option("header", True).csv(f"{base}/c")
+    o = spark.read.orc(f"{base}/o")
+    return j.intersect(c).intersect(o.select(*j.columns))

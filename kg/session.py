@@ -52,9 +52,22 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # -- deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
-        # -- keep plans comparable / avoid tiny-file pathologies
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "8g"))
+        # -- input split sizing. The default 128m capped the 1M-page
+        #    bench fixture (~1.2 GB) at 10 input splits, and in the
+        #    single-pass pipeline the WHOLE map side (scan -> extract
+        #    UDF -> NER -> link -> pair gen) inherits the scan's
+        #    partitioning until the first exchange — 10-way
+        #    parallelism on a 16/32-core box (measured: extract
+        #    scaled 2.0x from 4->16 cores; this was the entire
+        #    scaling-efficiency gap). 16m gives ~5 MB-of-html tasks,
+        #    seconds-long under the Arrow UDFs — still far above
+        #    per-task overhead. A real cluster sizes this to keep
+        #    (splits >= 2-3x total cores) for its own file sizes.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # 24g: repeated full-size bench runs in one 8g JVM accumulate
+        # broadcast/GC debris and degrade monotonically (measured
+        # 90 -> 154 s over 3 runs); the box has 128 GiB
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "24g"))
         # quieter UI-less runs in the sandbox
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

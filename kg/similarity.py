@@ -165,18 +165,38 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_fixture_corpus(e), _fixture_queries(e), k=5)
 
 
-def ivf_assign(corpus: DataFrame, n_cells: int = 16) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer without iterative k-means: centroids are a
-    deterministic hash-ordered sample of the corpus, each vector
-    assigned to its nearest centroid by cosine. Returns
+def _nearest_cell_udf(C: np.ndarray):
+    """Vectorized per-row argmax against the (broadcast-by-closure)
+    centroid matrix: zero shuffle of the corpus."""
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(IntegerType())
+    def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            # argmax returns the FIRST max -> lowest cell_id tie-break
+            yield pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32) + 1)
+
+    return nearest_cell
+
+
+def ivf_assign(
+    corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic hash-ordered seed sample +
+    ``refine_iters`` Lloyd (k-means) sweeps, each vector assigned to
+    its nearest centroid by cosine. Returns
     (centroids(cell_id, cv), assigned(vec_id, v, cell_id)).
 
     Assignment is a per-row argmax against the centroid matrix inside
     ONE vectorized pandas UDF — zero shuffle of the corpus (the r1
     shape ranked corpus x n_cells rows through a Window.partitionBy
     (vec_id), an avoidable corpus-sized exchange; audited in
-    scripts/audit_plans.py). The centroid table is dictionary-sized
-    (n_cells rows), so collecting it at plan-build time is the same
+    scripts/audit_plans.py). Each refinement sweep is one extra corpus
+    pass + one n_cells-group shuffle at INDEX-BUILD time (stride/hash
+    seeds alone under-cover clustered data). The centroid table is
+    dictionary-sized, so collecting it between sweeps is the same
     bounded-driver-work class as the union-find shortcut."""
     spark = corpus.sparkSession
     # deterministic hash-ordered sample via TakeOrderedAndProject
@@ -187,22 +207,34 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16) -> tuple[DataFrame, DataFra
         key=lambda r: r["vec_id"],
     )
     C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(refine_iters):
+        tmp = corpus.select(
+            "v", _nearest_cell_udf(C)(F.col("v")).alias("cell_id")
+        )
+        # per-cell mean: posexplode to (cell_id, dim, x) then avg —
+        # n_cells x dim output, one bounded shuffle
+        means = (
+            tmp.select("cell_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s")
+            )
+            .select("cell_id", F.col("s.m").alias("cv"))
+            .collect()
+        )
+        C = C.copy()  # empty cells keep their previous centroid
+        for r in means:
+            C[r["cell_id"] - 1] = np.asarray(r["cv"], dtype=np.float64)
+
     centroids = spark.createDataFrame(
-        [(i + 1, [float(x) for x in C[i]]) for i in range(len(crows))],
+        [(i + 1, [float(x) for x in C[i]]) for i in range(len(C))],
         "cell_id int, cv array<double>",
     )
-
-    @pandas_udf(IntegerType())
-    def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for vecs in it:
-            M = np.stack(vecs.to_numpy()).astype(np.float64)
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            # argmax returns the FIRST max -> lowest cell_id tie-break
-            yield pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32) + 1)
-
     assigned = corpus.select(
-        "vec_id", "v", nearest_cell(F.col("v")).alias("cell_id")
+        "vec_id", "v", _nearest_cell_udf(C)(F.col("v")).alias("cell_id")
     )
     return centroids, assigned
 
