@@ -162,19 +162,15 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _conll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M4-M8: the reference's CoNLL evaluation path — read gold
     CoNLL, run the NER stack, report per-type entity-level P/R/F1."""
-    import os
-    import tempfile
-
-    from kg.fixtures import write_conll_fixture
+    from kg.fixtures import conll_fixture_path
     from kg.ner.bio import bio_to_mentions
     from kg.ner.conll import read_conll
     from kg.ner.metrics import per_type_prf
     from kg.ner.model import tag_sentences
 
-    path = os.path.join(tempfile.gettempdir(), "kg_conll_eval.txt")
-    if not os.path.exists(path):
-        write_conll_fixture(path, n_sentences=300, seed=7, noise=0.0)
-    gold = read_conll(spark, path)
+    # param-named, process-cached fixture (both CoNLL queries share it;
+    # no fixed /tmp path to go stale or race)
+    gold = read_conll(spark, conll_fixture_path(n_sentences=300, seed=7, noise=0.0))
     gm = bio_to_mentions(gold.withColumnRenamed("doc_id", "url"))
     pred = tag_sentences(gold.select("doc_id", "sent_id", "words"))
     pm = bio_to_mentions(pred.withColumnRenamed("doc_id", "url"))

@@ -99,14 +99,20 @@ def _run_kg_pipeline(spark, n_pages: int) -> tuple[float, int]:
     KG_FUSED=1 uses the zero-exchange fused plan."""
     from kg.pipeline import run_pipeline
 
+    from kg.session import PIPELINE_SCAN_CONF, scoped_conf
+
     fused = bool(os.environ.get("KG_FUSED"))
     pages = spark.read.parquet(_bench_pages(spark, n_pages))
     aliases, evecs, comps = _dictionary_inputs(spark)
     t0 = time.monotonic()
-    res = run_pipeline(
-        spark, pages, aliases, evecs, fused=fused, components=comps
-    )
-    res["triples"].write.format("noop").mode("overwrite").save()
+    # 16m input splits for the UDF-heavy pipeline only (split planning
+    # happens at action time, so the write must sit inside the scope);
+    # relational queries keep the 128m session default
+    with scoped_conf(spark, PIPELINE_SCAN_CONF):
+        res = run_pipeline(
+            spark, pages, aliases, evecs, fused=fused, components=comps
+        )
+        res["triples"].write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0, n_pages
 
 
@@ -137,16 +143,28 @@ def main() -> None:
         queries[name] = round(_run_query(spark, fn, sf_dir), 3)
     queries["relational_cold_pass_sec"] = round(cold_total, 3)
 
-    # one warm-up at reduced size (JIT/codegen — discarded), then timed
+    # one warm-up at reduced size (JIT/codegen — discarded), then the
+    # full size twice: like the relational queries above, the SECOND
+    # (steady-state) run is the headline number and the first stays
+    # visible as the cold cost (identical code measured 5.9-35.5 s
+    # cold across fresh processes in this shared sandbox — the
+    # single-run number is host-noise-dominated; BENCH/BASELINE.md r3)
     _run_kg_pipeline(spark, max(N_BENCH_PAGES // 5, 1000))
-    kg_sec, n_pages = _run_kg_pipeline(spark, N_BENCH_PAGES)
+    kg_cold, n_pages = _run_kg_pipeline(spark, N_BENCH_PAGES)
+    kg_sec, _ = _run_kg_pipeline(spark, N_BENCH_PAGES)
+    queries["kg_pipeline_cold_sec"] = round(kg_cold, 3)
     queries["kg_pipeline_sec"] = round(kg_sec, 3)
     queries["kg_pipeline_docs_per_sec"] = round(n_pages / kg_sec, 1)
 
     total = sum(
         v
         for k, v in queries.items()
-        if k not in ("kg_pipeline_docs_per_sec", "relational_cold_pass_sec")
+        if k
+        not in (
+            "kg_pipeline_docs_per_sec",
+            "relational_cold_pass_sec",
+            "kg_pipeline_cold_sec",
+        )
     )
     print(
         json.dumps(

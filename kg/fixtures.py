@@ -379,3 +379,32 @@ def write_conll_fixture(
         lines.append("")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
+
+
+_CONLL_CACHE: dict[tuple, str] = {}
+
+
+def conll_fixture_path(
+    n_sentences: int = 300, seed: int = 7, noise: float = 0.0
+) -> str:
+    """Process-cached CoNLL fixture file, NAMED BY ITS GENERATION
+    PARAMETERS (a fixed /tmp name guarded by exists() silently reuses
+    a stale file written with different params — advisor r2 finding).
+    Written atomically (mkstemp + rename) into the session-scoped
+    scratch root, so concurrent runs each build their own and nothing
+    leaks past interpreter exit."""
+    import os
+    import tempfile
+
+    from kg.io import scratch_dir
+
+    key = (n_sentences, seed, noise)
+    if key not in _CONLL_CACHE:
+        d = scratch_dir("conll_")
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".txt")
+        os.close(fd)
+        write_conll_fixture(tmp, n_sentences, seed, noise)
+        final = os.path.join(d, f"conll_{n_sentences}_s{seed}_n{noise}.txt")
+        os.rename(tmp, final)
+        _CONLL_CACHE[key] = final
+    return _CONLL_CACHE[key]

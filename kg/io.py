@@ -63,6 +63,45 @@ def write_table(
         writer.parquet(path)
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch dir under ONE process-scoped root that is
+    removed at interpreter exit — bounded temp usage across bench /
+    check_oracles / pytest runs instead of unbounded per-call mkdtemp
+    leakage. (kg.streaming pioneered this pattern; shared here so
+    dedup barriers and IO round-trip queries use the same root.)"""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="kg_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+def materialize_barrier(df: DataFrame, prefix: str = "barrier_") -> DataFrame:
+    """Execute ``df`` once NOW and return a scan of the result: a
+    pipeline barrier for subtrees referenced by several downstream
+    consumers (AQE exchange reuse does not dedupe broadcast builds of
+    distinct subtrees, so an unbarriered subtree re-runs per
+    reference). Unlike ``persist()`` it pins nothing for the session
+    lifetime (r2's minhash barrier leaked two cached datasets per
+    invocation), and unlike ``localCheckpoint()`` the scan stays on
+    the DataFrame path with AQE intact. Files land in the atexit-
+    cleaned scratch root; on a real cluster the same pattern writes
+    to the job's scratch bucket."""
+    spark = df.sparkSession
+    path = os.path.join(scratch_dir(prefix), "data")
+    df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence check through the Hadoop FS API —
     works for file://, hdfs://, s3a:// alike (os.path would silently

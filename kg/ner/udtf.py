@@ -49,14 +49,8 @@ def udtf_bio_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UDTF path (rows-only: the fixture is engine-side, not one of
     the driver's DuckDB views; exact equality vs the Arrow decode path
     is gated in tests/test_udtf.py)."""
-    import os
-    import tempfile
-
-    from kg.fixtures import write_conll_fixture
+    from kg.fixtures import conll_fixture_path
     from kg.ner.conll import read_conll
 
-    path = os.path.join(tempfile.gettempdir(), "kg_conll_eval.txt")
-    if not os.path.exists(path):
-        write_conll_fixture(path, n_sentences=300, seed=7, noise=0.0)
-    gold = read_conll(spark, path)
+    gold = read_conll(spark, conll_fixture_path(n_sentences=300, seed=7, noise=0.0))
     return bio_decode_lateral(gold.select("doc_id", "sent_id", "words", "tags"))

@@ -1271,7 +1271,7 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle passes only if EVERY format preserves every value.
     Timestamps and money are stringified/integerized BEFORE the write
     so the comparison is lossless across text formats."""
-    import tempfile
+    from kg.io import scratch_dir
 
     ev = (
         T(spark, sf_dir, "events")
@@ -1285,7 +1285,8 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     schema = "event_id long, user_id long, event_type string, value_c long, ts_s string"
-    base = tempfile.mkdtemp(prefix="kg_io_rt_")
+    # session-scoped, atexit-cleaned scratch (no per-call tempdir leak)
+    base = scratch_dir("kg_io_rt_")
     ev.write.mode("overwrite").json(f"{base}/j")
     ev.write.mode("overwrite").option("header", True).csv(f"{base}/c")
     ev.write.mode("overwrite").orc(f"{base}/o")

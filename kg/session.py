@@ -52,18 +52,13 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # -- deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
-        # -- input split sizing. The default 128m capped the 1M-page
-        #    bench fixture (~1.2 GB) at 10 input splits, and in the
-        #    single-pass pipeline the WHOLE map side (scan -> extract
-        #    UDF -> NER -> link -> pair gen) inherits the scan's
-        #    partitioning until the first exchange — 10-way
-        #    parallelism on a 16/32-core box (measured: extract
-        #    scaled 2.0x from 4->16 cores; this was the entire
-        #    scaling-efficiency gap). 16m gives ~5 MB-of-html tasks,
-        #    seconds-long under the Arrow UDFs — still far above
-        #    per-task overhead. A real cluster sizes this to keep
-        #    (splits >= 2-3x total cores) for its own file sizes.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # NOTE: spark.sql.files.maxPartitionBytes stays at the 128m
+        # default. Round 2 set 16m globally to fix the UDF-heavy
+        # pipeline's input-split starvation, but that made every
+        # scan-heavy relational query schedule 8x the tasks (at 100 TB:
+        # ~6.5M tasks for a plain aggregation) and regressed the r2
+        # cold bench. The 16m sizing is now scoped to the pipeline
+        # only — see PIPELINE_SCAN_CONF / scoped_conf below.
         # 24g: repeated full-size bench runs in one 8g JVM accumulate
         # broadcast/GC debris and degrade monotonically (measured
         # 90 -> 154 s over 3 runs); the box has 128 GiB
@@ -77,3 +72,48 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Input-split sizing for the UDF-heavy KG pipeline ONLY. The single-
+# pass pipeline's whole map side (scan -> extract UDF -> NER -> link
+# -> pair gen) inherits the scan partitioning until the first
+# exchange, so the default 128m split read the 1M-page bench fixture
+# (~1.2 GB) as 10 splits — 10-way parallelism on a 16/32-core box
+# (measured: extract scaled 2.0x from 4->16 cores; this was the
+# entire r1->r2 scaling-efficiency gap). 16m gives ~5 MB-of-html
+# tasks, seconds-long under the Arrow UDFs — still far above per-task
+# overhead. Scan-heavy relational queries keep the 128m default
+# (16m there means 8x the tasks for zero benefit — the r2 cold-bench
+# regression). A real cluster sizes this per-source to keep splits
+# >= 2-3x total cores.
+PIPELINE_SCAN_CONF = {"spark.sql.files.maxPartitionBytes": "16m"}
+
+
+class scoped_conf:
+    """Context manager: set runtime SQL confs for the enclosed ACTIONS
+    and restore the previous values on exit. File-split planning reads
+    the conf at physical-planning (action) time, not DataFrame-build
+    time, so the action must run inside the scope::
+
+        with scoped_conf(spark, PIPELINE_SCAN_CONF):
+            run_pipeline(...)["triples"].write...
+    """
+
+    def __init__(self, spark: SparkSession, conf: dict[str, str]):
+        self.spark = spark
+        self.conf = conf
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self.conf.items():
+            self._saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False

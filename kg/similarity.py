@@ -197,7 +197,12 @@ def ivf_assign(
     pass + one n_cells-group shuffle at INDEX-BUILD time (stride/hash
     seeds alone under-cover clustered data). The centroid table is
     dictionary-sized, so collecting it between sweeps is the same
-    bounded-driver-work class as the union-find shortcut."""
+    bounded-driver-work class as the union-find shortcut.
+
+    Determinism: refined centroids come from EXACT integer summation
+    (see the sweep body), so the whole index — centroids and every
+    cell assignment — is bit-identical run-to-run on the same input,
+    independent of partitioning."""
     spark = corpus.sparkSession
     # deterministic hash-ordered sample via TakeOrderedAndProject
     # (distributed top-k; a global row_number window over the corpus
@@ -212,12 +217,23 @@ def ivf_assign(
         tmp = corpus.select(
             "v", _nearest_cell_udf(C)(F.col("v")).alias("cell_id")
         )
-        # per-cell mean: posexplode to (cell_id, dim, x) then avg —
-        # n_cells x dim output, one bounded shuffle
+        # per-cell mean: posexplode to (cell_id, dim, x) then SUM AS
+        # SCALED INTEGERS — long addition is associative and exact, so
+        # the refined centroid is bit-identical across runs regardless
+        # of partial-aggregation order (F.avg over doubles is ulp-
+        # nondeterministic, which can flip boundary vectors between
+        # cells run-to-run — advisor r2 finding). 1e9 scaling keeps
+        # unit-scale components exact to ~1e-9 and headroom for
+        # ~1.8e9 rows/cell before long overflow (ANSI mode would
+        # error, not wrap, beyond that).
         means = (
             tmp.select("cell_id", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell_id", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("x") * 1e9).cast("long")).alias("sx"),
+                F.count(F.lit(1)).alias("nx"),
+            )
+            .withColumn("m", F.col("sx") / F.lit(1e9) / F.col("nx"))
             .groupBy("cell_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s")

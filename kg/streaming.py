@@ -22,7 +22,6 @@ the batch answer) can check them.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,25 +34,15 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
-# one session-scoped temp root (removed at interpreter exit) instead
-# of unbounded per-call mkdtemp leakage across queries/bench runs
-_TMP_ROOT: str | None = None
 _SRC_DIRS: dict[str, str] = {}
 
 
-def _tmp_root() -> str:
-    global _TMP_ROOT
-    if _TMP_ROOT is None:
-        import atexit
-        import shutil
-
-        _TMP_ROOT = tempfile.mkdtemp(prefix="kgstream_root_")
-        atexit.register(shutil.rmtree, _TMP_ROOT, True)
-    return _TMP_ROOT
-
-
 def _scratch(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=prefix, dir=_tmp_root())
+    # session-scoped, atexit-cleaned root shared with dedup barriers
+    # and IO round-trips (kg.io.scratch_dir)
+    from kg.io import scratch_dir
+
+    return scratch_dir(prefix)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,21 @@ def main() -> int:
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)
 
+    # --- simhash: token hashing JVM-side, one Arrow crossing -------------
+    sh = plan_of(R.QUERIES["dedup_simhash"](spark, sf_dir))
+    shp = plan_of(R.QUERIES["dedup_simhash_pairs"](spark, sf_dir))
+    check(
+        "simhash: exactly 1 Arrow boundary (no Python hashing)",
+        sh.count("MapInPandas") + sh.count("ArrowEvalPython") == 1,
+    )
+    # the banded self-join prints the shared simhash subtree once per
+    # reference, so assert no ROW-AT-A-TIME Python and JVM verification
+    # instead of counting the (shared) Arrow subtree
+    check(
+        "simhash pairs: no row-at-a-time Python, JVM bit_count verify",
+        "BatchEvalPython" not in shp and "bit_count" in shp,
+    )
+
     # --- partial aggregation (map-side combine) --------------------------
     p1 = plan_of(R.QUERIES["q1_pricing_summary"](spark, sf_dir))
     check(
@@ -158,6 +173,28 @@ def main() -> int:
     check(
         "relation stage adds no Python (Catalyst CASE rules)",
         arrow_count(traw) <= 2 * arrow_count(linked),
+    )
+
+    # --- input-split sizing is scoped, not global -------------------------
+    # Relational scans must see the 128m default (16m globally = 8x the
+    # tasks per scan — the r2 cold-bench regression); the 16m pipeline
+    # sizing applies only inside scoped_conf and must restore on exit.
+    from kg.session import PIPELINE_SCAN_CONF, scoped_conf
+
+    check(
+        "session default maxPartitionBytes is 128m (not pipeline 16m)",
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+        in ("134217728", "134217728b", "128m"),
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    )
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    with scoped_conf(spark, PIPELINE_SCAN_CONF):
+        inside = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    after = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    check(
+        "pipeline scope sets 16m and restores on exit",
+        inside == "16m" and after == before,
+        f"before={before} inside={inside} after={after}",
     )
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))

@@ -100,6 +100,32 @@ def test_simhash_near_dups_share_bucket(spark):
     assert sims[0] == sims[2000]
 
 
+def test_simhash_pairs_recall_and_precision(spark):
+    """The banded extractor returns EXACTLY the hamming<=k pairs: all
+    10 planted near-dups (hamming 2-7 under seed 11), the exact dup at
+    hamming 0, and its transitive closure — nothing else. bands=8
+    (8-bit bands) makes recall guaranteed for k<=7 by pigeonhole."""
+    from kg.dedup import simhash_pairs, simhash_signatures
+
+    docs = _planted_docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, k=7, bands=8).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    ids = sorted(sims)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 7:
+                expected[(a, b)] = h
+    assert got == expected, (got, expected)
+    for i in range(10):
+        assert (i, 1000 + i) in got, i
+    assert got[(0, 2000)] == 0
+
+
 def test_signature_paths_bit_identical(spark):
     """minhash_signatures (pure Catalyst) and minhash_signatures_udf
     (Arrow hot path) share the with_shingle_hashes expression, so
