@@ -12,10 +12,10 @@ better); `queries` holds per-query seconds plus the flagship KG
 pipeline's docs/sec under "kg_pipeline_docs_per_sec".
 
 --scaling mode: run the flagship KG pipeline at two parallelism
-levels (local[8] vs local[32]) on the same input and report
+levels (local[4] vs local[16]) on the same input and report
 throughput at both + scaling efficiency (the sandbox stand-in for
 the north rule's N vs 4N executors — BASELINE.md). Results are
-written to BENCH/BASELINE.md.
+recorded in BENCH/BASELINE.md (r3 gate: 0.884 at 2M pages).
 """
 
 from __future__ import annotations
@@ -215,10 +215,14 @@ def _scale_level(cpus: int, n_pages: int) -> dict:
     }
 
 
-def scaling(levels=(8, 32), n_pages: int | None = None) -> dict:
+def scaling(levels=(4, 16), n_pages: int | None = None) -> dict:
     """Two-parallelism-level scaling evidence: the sandbox stand-in
-    for the north rule's N vs 4N executors (local[8] vs local[32] on
-    the same pre-generated input; each level in a fresh process)."""
+    for the north rule's N vs 4N executors (local[4] vs local[16] on
+    the same pre-generated input; each level in a fresh process —
+    the r2+ protocol: local[32] + 32 Python workers oversubscribes
+    the 32 hardware cores). Gate runs use n_pages=2_000_000: the
+    fixed ~13 s per-run cost (AQE stage scheduling, broadcast builds)
+    needs a big enough batch to amortize — BENCH/BASELINE.md r3."""
     import subprocess
 
     n_pages = n_pages or N_BENCH_PAGES

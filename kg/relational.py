@@ -639,6 +639,46 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_type_map",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    extra=True,  # local-only: map-function coverage, operators already
+    # driver-evidenced via q_events_json (driver registry stays at 50)
+)
+def q_events_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_entries / element_at / map cardinality coverage (the
+    one §2.C map row previously unexercised): per-user event-type
+    counts built AS A MAP in-plan, then read back out to scalar
+    columns so the result stays driver-hashable."""
+    per = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias(
+            "m"
+        )
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+        F.coalesce(F.element_at("m", F.lit("error")), F.lit(0))
+        .cast("long")
+        .alias("n_error"),
+        F.size("m").cast("long").alias("n_types"),
+    )
+
+
+@query(
     "q_events_daily",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -62,10 +62,14 @@ def test_minhash_estimates_track_exact_jaccard(spark):
 
 def test_lsh_recalls_planted_near_dups(spark):
     docs = _planted_docs(spark)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
     pairs = {
         (r["doc_a"], r["doc_b"])
         for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
     }
+    # r2 leak regression: the LSH barrier is a scratch-parquet round
+    # trip, so the call must pin NO new cached datasets (advisor r2)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
     # all 10 planted near-dups (jaccard ~0.87) + the exact dup
     for i in range(10):
         assert (i, 1000 + i) in pairs, (i, pairs)
