@@ -158,7 +158,63 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_fixture_corpus(e), _fixture_queries(e), k=5)
 
 
-@query("ann_lsh_topk")  # rows-only: seeded hyperplanes not in SQL;
+def _lsh_oracle_sql(
+    n_tables: int = 8, n_bits: int = 12, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB replica of lsh_topk (r3: converts the driver row from
+    rows-only to exact): the seeded hyperplanes are corpus-independent,
+    so they embed as literal DOUBLE[] rows in a VALUES CTE — built from
+    the SAME _hyperplanes() array the Spark UDF closes over, so the two
+    engines cannot drift. Bucket codes are sign-bit sums per (vec,
+    table); candidates share >= 1 bucket; exact-cosine re-rank matches
+    brute force's ROUND(...,6) + vec_id tie-break. Shortest-repr float
+    literals round-trip exactly through DuckDB's parser; a sign flip
+    would need |projection| below ~1e-13, far outside the fixture's
+    value range."""
+    planes = _hyperplanes(n_tables, n_bits, EMBED_DIM, seed)
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            w = ", ".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t}, {b}, [{w}])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(t, b, w) AS (VALUES
+      {values}
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    cb AS (
+      SELECT c.vec_id, p.t * {1 << n_bits} + SUM(
+               CASE WHEN list_dot_product(c.v, p.w) > 0
+                    THEN (1 << p.b) ELSE 0 END) AS bkt
+      FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id, p.t),
+    qb AS (
+      SELECT q.query_id, p.t * {1 << n_bits} + SUM(
+               CASE WHEN list_dot_product(q.qv, p.w) > 0
+                    THEN (1 << p.b) ELSE 0 END) AS bkt
+      FROM qs q CROSS JOIN planes p GROUP BY q.query_id, p.t),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM cb JOIN qb USING (bkt) WHERE cb.vec_id != qb.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+      FROM cand JOIN qs q ON q.query_id = cand.query_id
+                JOIN corpus c ON c.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("ann_lsh_topk", _lsh_oracle_sql())  # exact since r3
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall vs brute force gated in tests/test_similarity.py
     e = T(spark, sf_dir, "embeddings")
