@@ -159,6 +159,47 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship(spark, sf_dir)
 
 
+def _kg_components_oracle_sql() -> str:
+    """EXACT DuckDB oracle for K7 over the REAL alias dictionary (r3:
+    rows-only -> exact). The gazetteer is static engine data, so its
+    120 alias rows + 65 registry ids embed as VALUES; the same-as rule
+    (shared alias with prior >= 0.5, src < dst) and min-label
+    components are re-derived independently via a recursive-CTE
+    transitive closure — the same independent-algorithm pattern as
+    graph_components, now scoring the production dictionary path."""
+    from kg.graph import SAME_AS_PRIOR
+    from kg.ner import vocab as V
+
+    arows = ",\n      ".join(
+        f"('{r['alias']}', {r['entity_id']}, {r['prior']!r})"
+        for r in V.alias_rows()
+    )
+    vrows = ", ".join(f"({e['entity_id']})" for e in V.entity_registry())
+    return f"""
+    WITH RECURSIVE
+    aliases(alias, entity_id, prior) AS (VALUES
+      {arows}
+    ),
+    verts(id) AS (VALUES {vrows}),
+    high AS (
+      SELECT alias, entity_id FROM aliases WHERE prior >= {SAME_AS_PRIOR}),
+    edges AS (
+      SELECT a.entity_id AS src, b.entity_id AS dst
+      FROM high a JOIN high b
+        ON a.alias = b.alias AND a.entity_id < b.entity_id
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION ALL
+      SELECT dst AS u, src AS v FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id)
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
 def _conll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M4-M8: the reference's CoNLL evaluation path — read gold
     CoNLL, run the NER stack, report per-type entity-level P/R/F1."""
@@ -181,6 +222,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry: relational/dedup/similarity/multimodal/streaming
     module entries (registered on import) + the KG-core wrappers."""
     from kg import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         relational,
@@ -205,6 +247,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_components"] = graph_components_query
     relational.ORACLES.setdefault("graph_components", GRAPH_COMPONENTS_ORACLE)
+    # K7 over the production alias dictionary, also exact (r3)
+    relational.ORACLES.setdefault("kg_components", _kg_components_oracle_sql())
     return q
 
 

@@ -1,0 +1,306 @@
+"""Training-data curation operators beyond the dedup/ANN families:
+chunking for context-window packing, vocabulary building, stratified
+deterministic sampling, PII scrubbing, and repetition scoring.
+
+All five are pure Catalyst (no Python in the plan) with exact DuckDB
+oracles, and each one's scale story is a single shuffle or none:
+
+  * chunking        — per-row explode, NO shuffle
+  * vocab top-k     — explode + partial/final hash agg (map-side
+                      combine) + TakeOrderedAndProject
+  * stratified
+    sampling        — per-row md5 threshold, NO shuffle, reproducible
+                      across engines/runs (no rand())
+  * PII scrub       — per-row regexp_replace chain, NO shuffle
+  * repetition      — per-row token histogram via explode + two-level
+                      agg keyed on (doc_id, token) then doc_id
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.relational import T, query
+
+# ------------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the context-window packing step of an LLM training pipeline.
+    Emits (doc_id, chunk_id, start_tok, n_tokens, chunk_text); the
+    last chunk may be short. Pure per-row explode: no shuffle at any
+    corpus size."""
+    tokens = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride))
+    return (
+        docs.select("doc_id", tokens.alias("t"), F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            (((F.col("start_tok") - 1) / stride) + 1).cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), F.size("t") - F.col("start_tok") + 1
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("t", F.col("start_tok"), F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+# ------------------------------------------------------- vocab building
+
+
+def token_vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-wide token frequency table, top-k by (freq desc, token).
+    explode -> partial+final hash agg (map-side combine keeps the
+    shuffle at distinct-token size, not corpus-token size) ->
+    TakeOrderedAndProject for the global top-k (no full sort)."""
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return ranked.select(
+        "token", "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+# ------------------------------------------------- deterministic sample
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-language Bernoulli sampling: keep a doc iff
+    the first two hex chars of md5(doc_id) fall below the language's
+    threshold (rates in /256ths). No rand() — reruns, resumes, and
+    both engines pick the IDENTICAL sample; no shuffle either (the
+    filter is per-row). This is how a production corpus downsamples
+    over-represented languages reproducibly."""
+    rates = rates or {"en": 64, "fr": 128, "es": 128, "de": 192, "zh": 256}
+    thresh = F.lit(None).cast("string")
+    for lang, r in rates.items():
+        # rate >= 256 = keep everything: 'zz' sorts above every hex
+        # pair ('100' would NOT — lexicographic compare, not numeric)
+        t = "zz" if r >= 256 else f"{r:02x}"
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.withColumn("_t", thresh)
+        .filter(F.col("_t").isNotNull() & (h2 < F.col("_t")))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ----------------------------------------------------------- PII scrub
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, dashed phone numbers, and IPv4 literals —
+    per-row regexp_replace chain, no shuffle. Emits the scrubbed text
+    plus a per-kind redaction count so downstream audits can track
+    scrub rates without diffing text."""
+    col = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return df.select(
+        "doc_id",
+        n(EMAIL_RE).alias("n_email"),
+        n(PHONE_RE).alias("n_phone"),
+        n(IP_RE).alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------- repetition
+
+
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signal: the most frequent token's share of
+    the document (spam/boilerplate flag). Ties on frequency break to
+    the lexicographically smallest token, so the result is
+    deterministic in both engines. Two-level agg: (doc_id, token)
+    histogram then per-doc max — the shuffle keys on (doc_id, token),
+    never a cross product."""
+    hist = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sizes = hist.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_freq"), F.sum("cnt").alias("n_tokens")
+    )
+    top = (
+        hist.join(sizes, "doc_id")
+        .filter(F.col("cnt") == F.col("top_freq"))
+        .groupBy("doc_id", "top_freq", "n_tokens")
+        .agg(F.min("token").alias("top_token"))
+    )
+    return top.select(
+        "doc_id",
+        "top_token",
+        "top_freq",
+        "n_tokens",
+        F.round(F.col("top_freq").cast("double") / F.col("n_tokens"), 4).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+# ------------------------------------------------------- driver queries
+
+
+@query(
+    "text_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, GREATEST(len(t), 1), {CHUNK_STRIDE}))
+               AS start_tok
+      FROM toks)
+    SELECT doc_id,
+           CAST((start_tok - 1) // {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, len(t) - start_tok + 1) AS BIGINT)
+             AS n_tokens,
+           array_to_string(t[start_tok:start_tok + {CHUNK_TOKENS} - 1], ' ')
+             AS chunk_text
+    FROM starts
+    WHERE len(t) - start_tok + 1 > 0
+    """,
+    extra=True,  # local-only: registry stays at 50
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_topk",
+    """
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token != '' GROUP BY token)
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS rank
+    FROM freq ORDER BY freq DESC, token LIMIT 100
+    """,
+    extra=True,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_vocab_topk(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '80'
+                    WHEN 'es' THEN '80' WHEN 'de' THEN 'c0'
+                    WHEN 'zh' THEN 'zz' END
+    """,
+    extra=True,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_pii_scrub",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or +155-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' at 10.0.' || (doc_id % 256) || '.1' AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+    FROM d
+    """,
+    extra=True,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus has no real PII, so the query plants one
+    # email/phone/IP per doc (derived from doc_id, identically in the
+    # oracle) — the scrub itself runs over real engine expressions
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +155-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
+@query(
+    "text_repetition",
+    """
+    WITH hist AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token != '' GROUP BY doc_id, token),
+    sizes AS (
+      SELECT doc_id, MAX(cnt) AS top_freq, SUM(cnt) AS n_tokens
+      FROM hist GROUP BY doc_id)
+    SELECT h.doc_id, MIN(h.token) AS top_token,
+           CAST(s.top_freq AS BIGINT) AS top_freq,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(s.top_freq AS DOUBLE) / s.n_tokens, 4) AS rep_ratio
+    FROM hist h JOIN sizes s
+      ON s.doc_id = h.doc_id AND h.cnt = s.top_freq
+    GROUP BY h.doc_id, s.top_freq, s.n_tokens
+    """,
+    extra=True,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score(T(spark, sf_dir, "documents"))

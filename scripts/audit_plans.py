@@ -94,11 +94,15 @@ def main() -> int:
     )
 
     # --- no Python in relational plans ----------------------------------
+    from kg import curation  # noqa: F401 (register curation queries)
+
     for name in [
         "q1_pricing_summary", "q6_revenue_filter", "q5_region_revenue",
         "q_window_topk_orders", "q_sessionize", "q_rollup_lineitem",
         "q_events_json", "q_doc_stats", "dedup_ngram_jaccard",
         "ann_bruteforce_topk", "text_quality", "text_fingerprint",
+        "text_chunking", "vocab_topk", "corpus_sample_stratified",
+        "text_pii_scrub", "text_repetition",
     ]:
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)

@@ -1,0 +1,91 @@
+"""Curation operator gates: chunk math, deterministic sampling,
+PII scrub counts, repetition scoring, vocab ranking."""
+
+import pyspark.sql.functions as F
+
+from kg.curation import (
+    chunk_documents,
+    pii_scrub,
+    repetition_score,
+    stratified_sample,
+    token_vocab_topk,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(95))
+    chunks = sorted(
+        chunk_documents(_docs(spark, [(1, text, "en", "s", 0)])).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [c["start_tok"] for c in chunks] == [1, 41, 81]
+    assert [c["n_tokens"] for c in chunks] == [50, 50, 15]
+    # overlap: chunk 2 starts 10 tokens before chunk 1 ends
+    assert chunks[0]["chunk_text"].split()[40:] == chunks[1]["chunk_text"].split()[:10]
+    # full coverage: union of chunk tokens == original tokens
+    seen = set()
+    for c in chunks:
+        seen.update(c["chunk_text"].split())
+    assert seen == set(text.split())
+
+
+def test_stratified_sample_deterministic_and_ordered(spark):
+    rows = [
+        (i, "x", lang, "s", 0)
+        for i in range(400)
+        for lang in (["en"] if i % 2 == 0 else ["de"])
+    ]
+    docs = _docs(spark, rows)
+    s1 = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    assert s1 == s2  # no rand(): identical on rerun
+    n_en = sum(1 for d in s1 if d % 2 == 0)
+    n_de = len(s1) - n_en
+    # en keeps ~64/256, de ~192/256 of 200 docs each
+    assert 30 <= n_en <= 70, n_en
+    assert 120 <= n_de <= 180, n_de
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    text = (
+        "reach me at jane.doe+spam@mail.example.org or "
+        "+155-555-0199 from host 192.168.0.12 thanks"
+    )
+    r = pii_scrub(_docs(spark, [(7, text, "en", "s", 0)])).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 1, 1)
+    assert "<EMAIL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+    assert "<IP>" in r["scrubbed"]
+    assert "jane.doe" not in r["scrubbed"]
+    assert "192.168" not in r["scrubbed"]
+
+
+def test_repetition_score_flags_spam(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "buy now buy now buy now buy", "en", "s", 0),
+            (2, "all tokens here are unique words", "en", "s", 0),
+        ],
+    )
+    r = {x["doc_id"]: x for x in repetition_score(docs).collect()}
+    assert r[1]["top_token"] == "buy" and r[1]["top_freq"] == 4
+    assert r[1]["rep_ratio"] == 0.5714  # 4/7
+    assert r[2]["top_freq"] == 1 and r[2]["rep_ratio"] < 0.2
+    # tie-break: all freq-1 tokens -> lexicographically smallest
+    assert r[2]["top_token"] == "all"
+
+
+def test_vocab_topk_rank_order(spark):
+    docs = _docs(
+        spark,
+        [(1, "b a a c b a", "en", "s", 0), (2, "c b", "en", "s", 0)],
+    )
+    rows = token_vocab_topk(docs, k=3).collect()
+    got = [(r["token"], r["freq"], r["rank"]) for r in rows]
+    assert sorted(got, key=lambda t: t[2]) == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
