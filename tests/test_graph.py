@@ -90,3 +90,36 @@ def test_idempotent_on_component_output(spark):
     got = _run(spark, edges)
     again = _run(spark, [(k, v) for k, v in got.items() if k != v])
     assert again == got
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """5-sweep PageRank vs an independent dense numpy power iteration
+    on a small directed graph with a sink (node 4) and an isolated
+    vertex (node 9) — leak semantics and the (1-d)/N floor must both
+    match to 1e-8."""
+    import numpy as np
+
+    from kg.graph import pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4)]
+    verts_list = [1, 2, 3, 4, 5, 9]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in verts_list], "id long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, verts, iters=5).collect()}
+
+    idx = {v: i for i, v in enumerate(verts_list)}
+    n, d = len(verts_list), 0.85
+    out = {v: sum(1 for s, _ in edge_list if s == v) for v in verts_list}
+    p = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t in edge_list:
+            nxt[idx[t]] += d * p[idx[s]] / out[s]
+        p = nxt
+    for v in verts_list:
+        assert abs(got[v] - p[idx[v]]) < 1e-8, (v, got[v], p[idx[v]])
+    # isolated vertex sits exactly on the floor
+    assert got[9] == round((1 - d) / n, 8)
+    # rerun is bit-identical (no rand, deterministic joins)
+    again = {r["id"]: r["rank"] for r in pagerank(edges, verts, iters=5).collect()}
+    assert again == got
