@@ -249,6 +249,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     relational.ORACLES.setdefault("graph_components", GRAPH_COMPONENTS_ORACLE)
     # K7 over the production alias dictionary, also exact (r3)
     relational.ORACLES.setdefault("kg_components", _kg_components_oracle_sql())
+    # entity-importance PageRank (second iterative operator family),
+    # exact vs a 5-sweep unrolled-CTE oracle (r3; extra tier)
+    from kg.graph import _pagerank_oracle_sql, pagerank_query
+
+    q["kg_pagerank"] = pagerank_query
+    relational.ORACLES.setdefault("kg_pagerank", _pagerank_oracle_sql())
+    relational.EXTRA.add("kg_pagerank")
     return q
 
 

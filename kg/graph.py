@@ -160,6 +160,110 @@ def connected_components(
     return labels
 
 
+# ---------------------------------------------------------- pagerank
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Entity-importance PageRank over a directed edge set: fixed
+    ``iters`` synchronous sweeps of
+    p'(v) = (1-d)/N + d * sum_{u->v} p(u)/outdeg(u).
+
+    Scale shape: each sweep is one join keyed on src + one groupBy
+    keyed on dst — shuffles on vertex ids, never the pair space; the
+    rank frontier is vertex-sized. Dangling mass is NOT redistributed
+    (sinks leak it) — the fixed-point normalization differs from the
+    textbook variant but the per-sweep recurrence is identical in any
+    engine, which is what makes an exact cross-engine oracle possible.
+    N is the VERTEX count (isolated vertices hold (1-d)/N)."""
+    spark = edges.sparkSession
+    verts = vertices.select("id").distinct()
+    n = verts.count()  # vertex-sized driver scalar, like K7's shortcut
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = verts.select("id", F.lit(1.0 / n).alias("p"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(outdeg, ranks["id"] == outdeg["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("p") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = verts.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "p"
+            ),
+        )
+    return ranks.select("id", F.round("p", 8).alias("rank"))
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry with an EXACT unrolled-CTE oracle: PageRank over
+    the (symmetrized) customer chain graph — in-degree <= 2, so every
+    per-vertex inflow is a <= 2-term IEEE sum, bit-identical across
+    engines and partitionings; round(8) guards the tail anyway."""
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    chain = _customer_chain_edges(customers)
+    edges = chain.unionAll(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = customers.select(F.col("c_custkey").alias("id"))
+    pr = pagerank(edges, verts, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    return pr.select(F.col("id").alias("c_custkey"), "rank")
+
+
+def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMPING) -> str:
+    sweeps = []
+    prev = "p0"
+    for k in range(1, iters + 1):
+        sweeps.append(
+            f"""p{k} AS (
+      SELECT v.id,
+             (1 - {d}) / (SELECT n FROM nv)
+             + {d} * COALESCE(SUM(pp.p / od.outdeg), 0) AS p
+      FROM verts v
+      LEFT JOIN sym e ON e.dst = v.id
+      LEFT JOIN {prev} pp ON pp.id = e.src
+      LEFT JOIN outdeg od ON od.id = e.src
+      GROUP BY v.id)"""
+        )
+        prev = f"p{k}"
+    body = ",\n    ".join(sweeps)
+    return f"""
+    WITH chain AS (
+      SELECT c_custkey AS src,
+             LEAD(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                   ORDER BY c_custkey) AS dst
+      FROM customer
+      QUALIFY dst IS NOT NULL),
+    sym AS (
+      SELECT src, dst FROM chain
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM chain),
+    verts AS (SELECT c_custkey AS id FROM customer),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    outdeg AS (SELECT src AS id, COUNT(*) AS outdeg FROM sym GROUP BY src),
+    p0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS p FROM verts),
+    {body}
+    SELECT id AS c_custkey, ROUND(p, 8) AS rank FROM p{iters}
+    """
+
+
 # ------------------------------------------------------- driver query
 
 
