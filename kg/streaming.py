@@ -245,3 +245,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one surviving row per (user_id, event_type) -> the count equals
     # the batch COUNT(DISTINCT user_id) per type
     return dedup_within_watermark(spark, sf_dir)
+
+
+# ----------------------------------------------- streaming KG pipeline
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+_PAGES_STREAM_DIRS: dict[str, str] = {}
+
+
+def pages_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of KG input pages. The deterministic pages
+    fixture (derived from the driver's `documents` table) is written
+    once per process into a scratch directory and replayed — pointing
+    readStream at a live crawl-output directory serves production with
+    the SAME downstream code."""
+    d = _PAGES_STREAM_DIRS.get(sf_dir)
+    if d is None:
+        from kg.fixtures import pages_from_documents
+
+        d = _scratch("pages_src_")
+        pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(d)
+        _PAGES_STREAM_DIRS[sf_dir] = d
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(d)
+    )
+
+
+def stream_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K1+M2-M7 stack ON A STREAM: extract -> sentence split ->
+    fused NER, the exact batch stage functions applied to a streaming
+    DataFrame (they are per-row Arrow/Catalyst transforms, so Spark
+    accepts them unchanged), aggregated to per-ent_type mention counts
+    in complete mode. Stream == batch equality is gated in
+    tests/test_streaming.py; the driver row is rows-only (the NER
+    stack is not SQL-expressible)."""
+    from kg.pipeline import stage_extract, stage_mentions, stage_sentences
+
+    mentions = stage_mentions(stage_sentences(stage_extract(pages_stream(spark, sf_dir))))
+    agg = mentions.groupBy("ent_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        # COUNT(DISTINCT) is not allowed on streams; bit_xor of url
+        # hashes is an order-insensitive content checksum instead
+        F.bit_xor(F.xxhash64("url", "sent_id", "begin")).alias("checksum"),
+    )
+    return _run_available_now(agg, "kgm")
+
+
+@query("stream_kg_mentions", extra=True)  # rows-only: NER not in SQL
+def q_stream_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_kg_mentions(spark, sf_dir)

@@ -32,3 +32,33 @@ def test_session_counts_events_conserved(spark):
     assert total_events == spark.read.parquet(f"{SF}/events.parquet").count()
     for r in rows:
         assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_stream_kg_mentions_equals_batch(spark):
+    """The NER stack over a file STREAM must produce byte-identical
+    per-type counts and content checksums to the same stages run in
+    batch — the claim that one code path serves both."""
+    import pyspark.sql.functions as F
+
+    from kg.fixtures import pages_from_documents
+    from kg.pipeline import stage_extract, stage_mentions, stage_sentences
+    from kg.streaming import stream_kg_mentions
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["ent_type"]: (r["n_mentions"], r["checksum"])
+        for r in stream_kg_mentions(spark, sf_dir).collect()
+    }
+    batch = stage_mentions(
+        stage_sentences(stage_extract(pages_from_documents(spark, sf_dir)))
+    )
+    want = {
+        r["ent_type"]: (r["n_mentions"], r["checksum"])
+        for r in batch.groupBy("ent_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.bit_xor(F.xxhash64("url", "sent_id", "begin")).alias("checksum"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 2, (got, want)
