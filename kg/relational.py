@@ -210,6 +210,68 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # joins
 # =====================================================================
 
+_BUCKETED: dict[tuple[int, str], bool] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple[str, str]:
+    """Write orders + lineitem as BUCKETED tables (bucketBy + sortBy on
+    the join key, external data in the scratch root, in-memory catalog
+    — no Hive) once per session. Both sides sharing the bucketing lets
+    the fact-fact join run with ZERO Exchange (plan-audited): on a
+    cluster this is how repeated fact-fact joins amortize their
+    shuffle once at write time."""
+    from kg.io import scratch_dir
+
+    key = (id(spark), sf_dir)
+    ob, lb = "kg_orders_bkt", "kg_lineitem_bkt"
+    if key not in _BUCKETED:
+        for name, src, col, sort in (
+            (ob, "orders", "o_orderkey", "o_orderkey"),
+            (lb, "lineitem", "l_orderkey", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                T(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(buckets, col)
+                .sortBy(sort)
+                .option("path", scratch_dir(f"bkt_{name}_"))
+                .saveAsTable(name)
+            )
+        _BUCKETED[key] = True
+    return ob, lb
+
+
+@query(
+    "q_bucketed_join",
+    """
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    extra=True,  # local-only: join RESULT equals the plain join; the
+    # bucketing claim itself is a plan property (audit_plans asserts
+    # the join runs with zero Exchange below the aggregation)
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob, lb = _bucketed_tables(spark, sf_dir)
+    # hint("merge"): at fact-fact scale SMJ is the natural pick, but
+    # the sf0.01 test tables are small enough to auto-broadcast, which
+    # would bypass the bucket co-location this query exists to prove
+    o = spark.table(ob).select("o_orderkey", "o_orderstatus").hint("merge")
+    l = spark.table(lb).select("l_orderkey", cents("l_extendedprice").alias("ep_c"))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ep_c").alias("revenue_c"),
+        )
+    )
+
 
 @query(
     "q_broadcast_join",

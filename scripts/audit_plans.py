@@ -107,6 +107,16 @@ def main() -> int:
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)
 
+    # --- bucketed fact-fact join: shuffle eliminated at write time -------
+    bj2 = R.QUERIES["q_bucketed_join"](spark, sf_dir)
+    pb = plan_of(bj2)
+    join_part = pb.split("HashAggregate")[-1]  # below the final agg
+    check(
+        "bucketed join runs with zero Exchange below the aggregation",
+        "SortMergeJoin" in pb and "Exchange hashpartitioning" not in join_part,
+        join_part[:300],
+    )
+
     # --- simhash: token hashing JVM-side, one Arrow crossing -------------
     sh = plan_of(R.QUERIES["dedup_simhash"](spark, sf_dir))
     shp = plan_of(R.QUERIES["dedup_simhash_pairs"](spark, sf_dir))
