@@ -978,6 +978,56 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_profile",
+    """
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           ROUND(MIN(l_quantity), 4) AS min_v,
+           ROUND(MAX(l_quantity), 4) AS max_v,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4)
+    FROM lineitem
+    """,
+    extra=True,  # local-only: summary-stats/profiling surface
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the pre-training sanity sweep): row/null
+    counts, min/max, and EXACT linear-interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont` definitionally;
+    round(4) guards the interpolation arithmetic). One pass per
+    column set, map-side partial aggregation; at 100 TB you would
+    swap `percentile` for `approx_percentile` and accept the sketch
+    (q_approx_distinct shows that trade on HLL)."""
+    li = T(spark, sf_dir, "lineitem")
+
+    def prof(col: str):
+        c = F.col(col)
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.round(F.min(c), 4).alias("min_v"),
+            F.round(F.max(c), 4).alias("max_v"),
+            F.round(F.percentile(c, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(c, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(c, F.lit(0.95)), 4).alias("p95"),
+        )
+
+    return prof("l_quantity").unionAll(prof("l_extendedprice"))
+
+
+@query(
     "q_asof_grouped_pandas",
     """
     SELECT event_id, user_id, prev_purchase_value FROM (
