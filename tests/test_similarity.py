@@ -67,3 +67,22 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf_set = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
     recall = len(bf_set & ivf_set) / len(bf_set)
     assert recall >= 0.6, recall
+
+
+def test_ivf_index_bit_identical_across_runs(spark):
+    """The Lloyd sweep's centroid means are computed by exact integer
+    summation (advisor r2: float avg is partial-order-nondeterministic
+    and can flip boundary vectors between cells), so rebuilding the
+    index on the same input — even at a different partitioning — must
+    produce identical centroids and identical cell assignments."""
+    from kg.similarity import ivf_assign
+
+    corpus = _vectors(spark, n=300)
+    c1, a1 = ivf_assign(corpus, n_cells=10)
+    c2, a2 = ivf_assign(corpus.repartition(7), n_cells=10)
+    cent1 = {r["cell_id"]: tuple(r["cv"]) for r in c1.collect()}
+    cent2 = {r["cell_id"]: tuple(r["cv"]) for r in c2.collect()}
+    assert cent1 == cent2  # bit-identical, not approximately equal
+    asg1 = {r["vec_id"]: r["cell_id"] for r in a1.collect()}
+    asg2 = {r["vec_id"]: r["cell_id"] for r in a2.collect()}
+    assert asg1 == asg2
