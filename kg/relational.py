@@ -1446,3 +1446,137 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.schema(schema).option("header", True).csv(f"{base}/c")
     o = spark.read.orc(f"{base}/o")
     return j.intersect(c).intersect(o.select(*j.columns))
+
+
+# =====================================================================
+# r3 surface fills: pivot/unpivot, ntile, SCD-1 upsert
+# =====================================================================
+
+
+@query(
+    "q_pivot_events",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM p
+    UNPIVOT (n FOR kind IN (click, purchase, view))
+    """,
+    extra=True,  # local-only: pivot/unpivot API surface
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot -> unpivot round trip: per-user event counts spread to
+    one column per type (groupBy().pivot(values=...).agg — explicit
+    value list so the plan needs NO extra distinct-scan pass), then
+    melted back to long form with unpivot(). At scale pivot is one
+    hash aggregation; the explicit value list is what keeps it a
+    single pass."""
+    ev = T(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+    return wide.unpivot(
+        ["user_id"], ["click", "purchase", "view"], "kind", "n"
+    ).select("user_id", "kind", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "q_window_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS quartile,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    extra=True,  # local-only: ntile/global-window surface (bounded by
+    # the filter; production ntile partitions by a key)
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        cents("o_totalprice").alias("price_c"),
+    )
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    order_col: str,
+    tiebreak: list[str] = (),
+) -> DataFrame:
+    """SCD-1 upsert without a table format: union base + updates,
+    keep the newest row per key by (order_col, source precedence —
+    updates win ties). One shuffle keyed on the key columns; with
+    MERGE INTO unavailable on plain parquet, this is the portable
+    upsert shape (Iceberg/Delta MERGE replaces it config-side)."""
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key).orderBy(
+        F.desc(order_col), F.desc("_src"), *[F.desc(c) for c in tiebreak]
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+@query(
+    "q_upsert_latest",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, ts, CAST(ROUND(value*100) AS BIGINT) AS value_c
+      FROM events WHERE event_id % 2 = 0),
+    updates AS (
+      SELECT user_id, event_type, ts, CAST(ROUND(value*200) AS BIGINT) AS value_c
+      FROM events WHERE event_id % 3 = 0),
+    tagged AS (
+      SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 FROM updates),
+    ranked AS (
+      SELECT user_id, event_type, ts, value_c,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, src DESC, value_c DESC)
+               AS rn
+      FROM tagged)
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value_c
+    FROM ranked WHERE rn = 1
+    """,
+    extra=True,  # local-only: upsert/merge surface (parquet-portable)
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type", "ts", cents("value").alias("value_c")
+    )
+    updates = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.round(F.col("value") * 200)).cast("long").alias("value_c"),
+    )
+    # value_c in the tie-break: two DISTINCT events can share
+    # (key, ts, src), and row_number over an under-specified order is
+    # partition-order-dependent — the oracle would flap
+    merged = upsert_latest(
+        base, updates, ["user_id", "event_type"], "ts", tiebreak=["value_c"]
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value_c",
+    )
