@@ -1,8 +1,9 @@
 """Training-data curation operators beyond the dedup/ANN families:
 chunking for context-window packing, vocabulary building, stratified
-deterministic sampling, PII scrubbing, and repetition scoring.
+deterministic sampling, PII scrubbing, repetition scoring, BPE
+merge-pair counting, and a bigram LM table.
 
-All five are pure Catalyst (no Python in the plan) with exact DuckDB
+All are pure Catalyst (no Python in the plan) with exact DuckDB
 oracles, and each one's scale story is a single shuffle or none:
 
   * chunking        — per-row explode, NO shuffle
@@ -14,6 +15,9 @@ oracles, and each one's scale story is a single shuffle or none:
   * PII scrub       — per-row regexp_replace chain, NO shuffle
   * repetition      — per-row token histogram via explode + two-level
                       agg keyed on (doc_id, token) then doc_id
+  * BPE pairs       — shuffle carries distinct char pairs
+                      (alphabet^2-bounded), never corpus positions
+  * bigram LM       — two aggs keyed on tokens, never positions
 """
 
 from __future__ import annotations
@@ -304,3 +308,106 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(T(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- tokenizer-training support
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """First sweep of BPE tokenizer training: corpus-wide frequency of
+    adjacent CHARACTER pairs within whitespace tokens (the statistic
+    the first merge rule is chosen from). explode(word) ->
+    explode(char pairs) -> partial/final hash agg; the shuffle carries
+    distinct pairs (alphabet^2-bounded), never corpus positions."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    # substr with a lambda-bound start needs the SQL expr form
+    # (pyspark's F.substring takes plain ints)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    freq = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        freq.orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(k)
+        .select("pair", "freq", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus bigram table with conditional probability
+    P(next | token) — the n-gram LM / data-quality statistic. Two
+    aggregations, both keyed on tokens (never positions); round(4)
+    for the cross-engine probability compare."""
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        big.join(uni, "w1")
+        .filter(F.col("n12") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            F.round(F.col("n12").cast("double") / F.col("n1"), 4).alias("p"),
+        )
+    )
+
+
+@query(
+    "vocab_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM words WHERE length(w) >= 2)),
+    freq AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq FROM pairs GROUP BY pair)
+    SELECT pair, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+    FROM freq ORDER BY freq DESC, pair LIMIT 50
+    """,
+    extra=True,
+)
+def q_vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_bigram_lm",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM grams GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM big GROUP BY w1)
+    SELECT b.w1, b.w2, b.n12, u.n1,
+           ROUND(CAST(b.n12 AS DOUBLE) / u.n1, 4) AS p
+    FROM big b JOIN uni u ON u.w1 = b.w1
+    WHERE b.n12 >= 5
+    """,
+    extra=True,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm(T(spark, sf_dir, "documents"))
