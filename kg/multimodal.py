@@ -236,9 +236,24 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(gen_assets(spark, 200))
 
 
-@query("multimodal_decode", extra=True)  # local-only near-dup of the
+_DECODE_ORACLE = """
+WITH ids AS (SELECT range AS i FROM range(200))
+SELECT i AS asset_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(16 + (i * 7) % 48 AS INT) AS width,
+       CAST(16 + (i * 13) % 48 AS INT) AS height,
+       CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 1 + i % 24 END AS INT)
+         AS n_frames,
+       CAST(10 + 64 + (i % 5) * 32 AS BIGINT) AS payload_bytes
+FROM ids
+"""
+
+
+@query("multimodal_decode", _DECODE_ORACLE, extra=True)  # exact r3
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # merged entry (kept for the pure-decode API surface)
+    # local-only near-dup of multimodal_decode_features, kept for the
+    # pure-decode API surface (closed-form header oracle)
     return decode_assets(gen_assets(spark, 200))
 
 
