@@ -63,24 +63,33 @@ def chunk_documents(
 # ------------------------------------------------------- vocab building
 
 
+def _topk_ranked(freq: DataFrame, key: str, k: int) -> DataFrame:
+    """Global top-k of a (key, freq) table with a dense 1..k rank:
+    orderBy+limit compiles to TakeOrderedAndProject (no full sort);
+    the rank window then runs over only the k survivors, so the
+    single-partition window is bounded by k, not the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc(key))
+    return (
+        freq.orderBy(F.desc("freq"), F.asc(key))
+        .limit(k)
+        .select(key, "freq", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
 def token_vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Corpus-wide token frequency table, top-k by (freq desc, token).
     explode -> partial+final hash agg (map-side combine keeps the
     shuffle at distinct-token size, not corpus-token size) ->
     TakeOrderedAndProject for the global top-k (no full sort)."""
-    from pyspark.sql import Window
-
     freq = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return ranked.select(
-        "token", "freq", F.row_number().over(w).cast("long").alias("rank")
-    )
+    return _topk_ranked(freq, "token", k)
 
 
 # ------------------------------------------------- deterministic sample
@@ -119,23 +128,23 @@ IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails, dashed phone numbers, and IPv4 literals —
-    per-row regexp_replace chain, no shuffle. Emits the scrubbed text
-    plus a per-kind redaction count so downstream audits can track
-    scrub rates without diffing text."""
+    per-row regexp_replace chain, no shuffle. Each kind is COUNTED on
+    the output of the previous replacement, not the original text, so
+    the counts equal the redactions actually performed ('a@10.0.0.1.com'
+    is one email and zero IPs — the email replace consumed it; counting
+    every pattern on the original would report a phantom IP)."""
     col = F.col(text_col)
-    n = lambda pat: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ),
-        IP_RE,
-        "<IP>",
-    )
+    n = lambda src, pat: F.size(
+        F.regexp_extract_all(src, F.lit(pat), 0)
+    ).cast("long")
+    after_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(after_phone, IP_RE, "<IP>")
     return df.select(
         "doc_id",
-        n(EMAIL_RE).alias("n_email"),
-        n(PHONE_RE).alias("n_phone"),
-        n(IP_RE).alias("n_ip"),
+        n(col, EMAIL_RE).alias("n_email"),
+        n(after_email, PHONE_RE).alias("n_phone"),
+        n(after_phone, IP_RE).alias("n_ip"),
         scrubbed.alias("scrubbed"),
     )
 
@@ -248,20 +257,29 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              '@mail.example.com or +155-555-' ||
              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
              ' at 10.0.' || (doc_id % 256) || '.1' AS text
-      FROM documents)
+      FROM documents),
+    steps AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS after_email
+      FROM d),
+    steps2 AS (
+      SELECT *, regexp_replace(after_email,
+               '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')
+               AS after_phone
+      FROM steps)
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              AS n_email,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_email,
              '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_phone,
              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+           regexp_replace(after_phone,
              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
-    FROM d
+    FROM steps2
     """,
     extra=True,
 )
@@ -319,8 +337,6 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
     the first merge rule is chosen from). explode(word) ->
     explode(char pairs) -> partial/final hash agg; the shuffle carries
     distinct pairs (alphabet^2-bounded), never corpus positions."""
-    from pyspark.sql import Window
-
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") >= 2)
@@ -332,29 +348,31 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
         ).alias("pair")
     )
     freq = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
-    return (
-        freq.orderBy(F.desc("freq"), F.asc("pair"))
-        .limit(k)
-        .select("pair", "freq", F.row_number().over(w).cast("long").alias("rank"))
-    )
+    return _topk_ranked(freq, "pair", k)
 
 
 def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Corpus bigram table with conditional probability
     P(next | token) — the n-gram LM / data-quality statistic. Two
     aggregations, both keyed on tokens (never positions); round(4)
-    for the cross-engine probability compare."""
-    toks = F.split(F.col("text"), " ")
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2))"
-            )
-        ).alias("g")
-    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    for the cross-engine probability compare. Docs with < 2 tokens
+    are filtered BEFORE the transform: Spark's two-arg sequence(1, 0)
+    DESCENDS to [1, 0] and element_at(t, 0) throws under ANSI mode
+    (the DuckDB oracle's generate_series(1, 0) is just empty)."""
+    grams = (
+        docs.select(F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
     big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
     return (

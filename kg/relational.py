@@ -220,10 +220,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tupl
     the fact-fact join run with ZERO Exchange (plan-audited): on a
     cluster this is how repeated fact-fact joins amortize their
     shuffle once at write time."""
+    import hashlib
+
     from kg.io import scratch_dir
 
+    # table names carry an sf_dir hash: global names with an sf-keyed
+    # cache would silently serve the LAST-written sf's data to earlier
+    # sf_dirs in the same session (reviewer finding)
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     key = (id(spark), sf_dir)
-    ob, lb = "kg_orders_bkt", "kg_lineitem_bkt"
+    ob, lb = f"kg_orders_bkt_{sfx}", f"kg_lineitem_bkt_{sfx}"
     if key not in _BUCKETED:
         for name, src, col, sort in (
             (ob, "orders", "o_orderkey", "o_orderkey"),

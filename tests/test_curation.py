@@ -89,3 +89,32 @@ def test_vocab_topk_rank_order(spark):
     rows = token_vocab_topk(docs, k=3).collect()
     got = [(r["token"], r["freq"], r["rank"]) for r in rows]
     assert sorted(got, key=lambda t: t[2]) == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_pii_counts_equal_actual_redactions_on_overlap(spark):
+    """'a@10.0.0.1.com' is ONE email and ZERO IPs: the email replace
+    consumes the token, so counting every pattern on the original
+    text would report a phantom IP redaction (reviewer finding)."""
+    r = pii_scrub(
+        _docs(spark, [(1, "mail a@10.0.0.1.com end", "en", "s", 0)])
+    ).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 0, 0)
+    assert r["scrubbed"] == "mail <EMAIL> end"
+
+
+def test_bigram_lm_short_docs_dont_crash(spark):
+    """Docs with < 2 tokens must be filtered, not crash: Spark's
+    sequence(1, 0) DESCENDS and element_at(t, 0) throws under ANSI
+    mode (reviewer finding — the DuckDB oracle returns empty)."""
+    from kg.curation import bigram_lm
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hello", "en", "s", 0),
+            (2, "", "en", "s", 0),
+            (3, "a b a b a b", "en", "s", 0),
+        ],
+    )
+    rows = {(r["w1"], r["w2"]): r["n12"] for r in bigram_lm(docs, min_count=1).collect()}
+    assert rows == {("a", "b"): 3, ("b", "a"): 2}
