@@ -171,7 +171,8 @@ def _kg_components_oracle_sql() -> str:
     from kg.ner import vocab as V
 
     arows = ",\n      ".join(
-        f"('{r['alias']}', {r['entity_id']}, {r['prior']!r})"
+        # '' doubling: an alias like O'Brien must not break the SQL
+        f"""('{r["alias"].replace("'", "''")}', {r['entity_id']}, {r['prior']!r})"""
         for r in V.alias_rows()
     )
     vrows = ", ".join(f"({e['entity_id']})" for e in V.entity_registry())

@@ -388,6 +388,168 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 6
+BPE_MAX_WORD_LEN = 20  # bounds the oracle's replace-first unroll
+
+
+def _apply_merge(syms, x: str, y: str):
+    """Merge every leftmost-non-overlapping adjacent (x, y) in a
+    symbol array into x||y — a greedy-left Catalyst fold (aggregate).
+    Greedy-left == leftmost-non-overlapping (standard BPE apply):
+    a replacement token x||y can never equal x, so a merge never
+    creates a new occurrence of the pair being merged. F.get (0-based,
+    null out of bounds) keeps the empty-accumulator probe ANSI-safe
+    (element_at(-1) would throw)."""
+    z = x + y
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(x)) & (t == F.lit(y)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(z))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGE_ROUNDS,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Iterated BPE merge training (the third iterative operator
+    family beside K7 components and PageRank): N rounds of
+    (count adjacent symbol pairs weighted by word frequency ->
+    argmax with (count desc, lhs, rhs) tie-break -> apply the merge
+    to every word), emitting the merge table a tokenizer trainer
+    consumes: (merge_rank, lhs, rhs, pair_count).
+
+    Scale shape: ONE corpus pass builds the word-frequency vocab
+    (explode + hash agg, shuffle keyed on the word); it is
+    materialized once, and every round after that is a single agg job
+    over the DICTIONARY-sized vocab — corpus-independent, exactly how
+    a production BPE trainer over 100 TB behaves (the corpus is
+    touched once; the merge loop runs on the vocabulary). The
+    per-round argmax collect is one row (like K7's dictionary-sized
+    collects). Words are restricted to lowercase-alpha, length 2..20
+    (keeps the charset SQL-safe and bounds the oracle's per-round
+    replace-first unroll at max_word_len // 2 steps)."""
+    from kg.io import materialize_barrier
+
+    spark = docs.sparkSession
+    vocab = materialize_barrier(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .filter(F.length("w").between(2, max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # (?!^) splits between chars but also matches at end-of-
+            # string, leaving a trailing "" element — filter it
+            F.filter(
+                F.split(F.col("w"), "(?!^)"), lambda t: t != F.lit("")
+            ).alias("syms"),
+            "freq",
+        ),
+        "bpe_vocab_",
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)  # sequence(1,0) DESCENDS
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS lhs, "
+                        "element_at(syms, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["pair_count"])
+        merges.append((r, x, y, cnt))
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), x, y))
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_merges_oracle_sql(
+    n_merges: int = BPE_MERGE_ROUNDS, max_word_len: int = BPE_MAX_WORD_LEN
+) -> str:
+    """Unrolled-CTE DuckDB oracle for bpe_merges (the pagerank
+    pattern: aggregates are not allowed in recursive CTEs, so each
+    round is a generated CTE block). Words are ' '-wrapped
+    space-joined symbol strings; applying a merge = iterating
+    'replace the FIRST occurrence of " lhs rhs " with " lhsrhs "'
+    (substr splice at instr) to a fixpoint, bounded by
+    max_word_len // 2 single-replace steps — the max occurrences of
+    one pair in a <= max_word_len-symbol word. Tie-break matches the
+    engine: pair_count DESC, lhs, rhs."""
+    steps = max_word_len // 2
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+      SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sp,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+        AND length(w) BETWEEN 2 AND {max_word_len}
+      GROUP BY 1)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT l[i] AS lhs, l[i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM (SELECT string_split(trim(sp), ' ') AS l, freq
+                  FROM {prev}))
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+      SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pair_count,
+             ' ' || lhs || ' ' || rhs || ' ' AS pat,
+             ' ' || lhs || rhs || ' ' AS rep
+      FROM c{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"""
+        )
+        src = prev
+        for j in range(1, steps + 1):
+            parts.append(
+                f"""w{r}_{j} AS MATERIALIZED (
+      SELECT CASE WHEN instr(sp, b.pat) > 0
+                  THEN substr(sp, 1, instr(sp, b.pat) - 1) || b.rep ||
+                       substr(sp, instr(sp, b.pat) + length(b.pat))
+                  ELSE sp END AS sp, freq
+      FROM {src} CROSS JOIN b{r} b)"""
+            )
+            src = f"w{r}_{j}"
+        parts.append(f"w{r} AS MATERIALIZED (SELECT sp, freq FROM {src})")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT merge_rank, lhs, rhs, pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {union}"
+
+
+@query("vocab_bpe_merges", _bpe_merges_oracle_sql(), extra=True)
+def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges(T(spark, sf_dir, "documents"))
+
+
 @query(
     "vocab_bpe_pairs",
     """

@@ -124,6 +124,40 @@ def _permutation_params(k: int, seed: int = 42) -> list[tuple[int, int, int]]:
     ]
 
 
+def _neutral_hash64(col):
+    """Engine-neutral 60-bit hash: the first 15 hex chars of md5 as an
+    integer. Spark: conv(substr(md5(x),1,15),16,10); DuckDB:
+    ('0x' || substr(md5(x),1,15))::BIGINT — bit-identical, which is
+    what lets the MinHash-LSH and SimHash driver rows carry EXACT
+    DuckDB oracles (r3 verdict #3/#7). 15 hex chars = 60 bits keeps
+    the value far inside int64 on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_shingle_hashes_neutral(
+    docs: DataFrame, n: int = 3, text_col: str = "text", out: str = "hs"
+) -> DataFrame:
+    """``with_shingle_hashes`` built on the engine-neutral md5 hash of
+    the shingle STRING instead of xxhash64 over token hashes. Costlier
+    (per-shingle string slicing + md5 vs hashing longs) but still
+    fully JVM-side, and DuckDB can recompute every value — the
+    verifiability path; production pipelines keep the xxhash64
+    default. Short docs (< n tokens) get an empty array."""
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            # sequence(1, 0) would DESCEND, hence the >= n guard
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.pmod(
+                _neutral_hash64(F.concat_ws(" ", F.slice(tokens, i, n))),
+                F.lit(HASH_DOMAIN),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.withColumn(out, hashes)
+
+
 def with_shingle_hashes(
     docs: DataFrame, n: int = 3, text_col: str = "text", out: str = "hs"
 ) -> DataFrame:
@@ -193,30 +227,43 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.2,
     seed: int = 42,
+    neutral: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup: signatures -> banded bucket join ->
     candidate pairs -> exact-Jaccard verification. Returns verified
-    pairs with both the exact jaccard and the signature estimate."""
+    pairs with both the exact jaccard and the signature estimate.
+
+    ``neutral=True`` swaps every hash for the engine-neutral md5
+    variant and joins bands on the minima STRING itself (not its
+    xxhash64), making the whole query — signatures, bands, candidates,
+    verified jaccard — reproducible in ANSI SQL, hence the EXACT
+    DuckDB oracle on the driver row. Same algorithm, same shuffles
+    (still keyed on band/bucket, never the pair space)."""
+    # near-dup is defined over docs with >= n tokens; without this
+    # filter every short doc shares the [P]*k sentinel signature and
+    # they would all pair with NaN jaccard (NaN >= t is true in Spark)
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
     rows_per_band = k // bands
-    sigs = minhash_signatures_udf(docs, n, k, seed)
+    sigs = minhash_signatures_udf(docs, n, k, seed, neutral=neutral)
+
+    def band_key(bidx):
+        s = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # neutral mode keeps the string key (SQL-replicable; equality
+        # join only); the hot path hashes it to a long for a cheaper
+        # shuffle key
+        return s if neutral else F.xxhash64(s)
+
     band_ids = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bidx: F.struct(
-                bidx.alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                bidx * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
+                bidx.alias("band"), band_key(bidx).alias("bucket")
             ),
         )
     )
@@ -259,8 +306,9 @@ def minhash_lsh_pairs(
         .union(candidates.select("doc_b"))
         .distinct()
     )
+    hasher = with_shingle_hashes_neutral if neutral else with_shingle_hashes
     shsets = io.materialize_barrier(  # referenced twice (a/b side)
-        with_shingle_hashes(docs.join(cand_docs, "doc_id", "left_semi"), n)
+        hasher(docs.join(cand_docs, "doc_id", "left_semi"), n)
         .select("doc_id", F.array_distinct("hs").alias("shset")),
         "mh_shset_",
     )
@@ -283,19 +331,28 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", neutral: bool = False
+) -> DataFrame:
     """doc_id, simhash (64-bit) — tokenize + per-token hashing stay
     JVM-side (`split` + `transform(xxhash64)`, the same pattern as
     with_shingle_hashes), then ONE Arrow crossing of `array<long>`
     does the numpy bit-unpack/sign-sum. No Python-side hashing at all
     (the r2 shape called `hashlib.md5` once per token per doc inside
     the UDF — the same row-at-a-time anti-pattern minhash had before
-    it was vectorized). Docs with no tokens get simhash 0."""
+    it was vectorized). Docs with no tokens get simhash 0.
+
+    ``neutral=True`` swaps the token hash for the engine-neutral
+    60-bit md5 variant (bits 60-63 are then always 0 — a sign-sum
+    over all-zero bit columns stays 0 on both engines), which lets
+    DuckDB recompute the identical simhash — the exact driver
+    oracle. Same single Arrow crossing either way."""
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
+    tok_hash = _neutral_hash64 if neutral else F.xxhash64
     hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
+        "doc_id", F.transform(toks, lambda t: tok_hash(t)).alias("_th")
     )  # explicit select: only (doc_id, token hashes) cross into Arrow
 
     bitpos = np.arange(64, dtype=np.uint64)
@@ -319,10 +376,12 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.mapInPandas(gen, "doc_id long, simhash long")
 
 
-def simhash_buckets(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
+def simhash_buckets(
+    docs: DataFrame, prefix_bits: int = 16, neutral: bool = False
+) -> DataFrame:
     """SimHash per doc + coarse bucket by top bits (near-dups share
     buckets); simhash_pairs is the verified pair extractor."""
-    return simhash_signatures(docs).withColumn(
+    return simhash_signatures(docs, neutral=neutral).withColumn(
         "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     )
 
@@ -459,15 +518,114 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(T(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 not in DuckDB; exact
+def _minhash_oracle_sql(
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """EXACT DuckDB oracle for the full MinHash+LSH query (r3: rows-
+    only -> exact). The seeded permutation params embed as VALUES (the
+    ann_lsh_topk pattern); shingle hashes use the engine-neutral md5
+    form, so signatures, band keys, candidate pairs, and the verified
+    jaccard are all re-derived relationally — nothing is taken from
+    the engine under test."""
+    rpb = k // bands
+    P = MERSENNE_P
+    perms = ",\n      ".join(
+        f"({i}, {a}, {b})" for i, a, b in _permutation_params(k, seed)
+    )
+    return f"""
+    WITH perms(perm, a, b) AS (VALUES
+      {perms}
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')),
+                              1, 15))::BIGINT) % {P} AS h
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n})),
+    sigs AS (
+      SELECT s.doc_id, p.perm, MIN((p.a * s.h + p.b) % {P}) AS mh
+      FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm),
+    bnd AS (
+      SELECT doc_id, perm // {rpb} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS bucket
+      FROM sigs GROUP BY doc_id, perm // {rpb}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT cm.doc_a, cm.doc_b,
+           ROUND(CAST(cm.common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - cm.common), 4) AS jaccard
+    FROM com cm
+    JOIN sizes sa ON sa.doc_id = cm.doc_a
+    JOIN sizes sb ON sb.doc_id = cm.doc_b
+    WHERE ROUND(CAST(cm.common AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - cm.common), 4) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(prefix_bits: int = 16) -> str:
+    """EXACT DuckDB oracle for simhash_buckets over the neutral token
+    hash: per-token 60-bit md5 hash -> per-bit sign sums -> simhash
+    reassembly -> prefix bucket, all in SQL. Bits 60-63 are 0 for
+    every hash, so summing bits 0..59 reproduces the kernel's 64-bit
+    result exactly; docs with no tokens keep simhash 0 via the LEFT
+    JOIN."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+               AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    bits AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b),
+    sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.simhash, 0) AS simhash,
+           COALESCE(s.simhash, 0) >> {64 - prefix_bits} AS bucket
+    FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())  # exact since r4
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine-neutral-hash variant (bit-identical pipeline shape);
     # jaccard parity of LSH survivors is gated in tests/test_dedup.py
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), neutral=True)
+
+
+@query("dedup_minhash_xxh64", extra=True)  # rows-only: xxhash64 hot path
+def q_dedup_minhash_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the production default (xxhash64 over token hashes — cheapest
+    # JVM path); identical algorithm to the exact-oracled neutral row
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash")  # rows-only: xxhash64-bit math not in DuckDB
+@query("dedup_simhash", _simhash_oracle_sql())  # exact since r4
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_buckets(T(spark, sf_dir, "documents"))
+    return simhash_buckets(T(spark, sf_dir, "documents"), neutral=True)
 
 
 @query("dedup_simhash_pairs", extra=True)  # rows-only: same xxhash64
@@ -496,7 +654,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures_udf(
-    docs: DataFrame, n: int = 3, k: int = 32, seed: int = 42
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    seed: int = 42,
+    neutral: bool = False,
 ) -> DataFrame:
     """Hot-path signatures, bit-identical to ``minhash_signatures``
     (asserted in tests/test_dedup.py): shingle hashing stays JVM-side
@@ -510,7 +672,8 @@ def minhash_signatures_udf(
     a = np.array([p[1] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[2] for p in params], dtype=np.int64)[:, None]
 
-    hashed = with_shingle_hashes(docs, n).select(
+    hasher = with_shingle_hashes_neutral if neutral else with_shingle_hashes
+    hashed = hasher(docs, n).select(
         "doc_id", "hs"
     )  # explicit select: only (doc_id, hashes) cross the Arrow boundary
 

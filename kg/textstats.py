@@ -5,8 +5,8 @@ Quality/token/fingerprint ops are pure Catalyst with SQL oracles.
 Language ID is a stopword/char-profile heuristic in a vectorized
 pandas UDF (profiles broadcast once per worker); the synthetic
 `documents.text` is random tokens, so its accuracy gate lives in
-tests/test_textstats.py over real-language samples, and the driver
-query is rows-only.
+tests/test_textstats.py over real-language samples; the driver query
+is exact since r3 (oracle generated from the same LANG_PROFILES).
 """
 
 from __future__ import annotations
@@ -149,9 +149,13 @@ def _lang_oracle_sql() -> str:
     priority (strict > beats later ties), CJK char-ratio rule first.
     Built from the SAME LANG_PROFILES dict, so the two engines cannot
     drift."""
+    # regex whitespace split = the kernel's str.split() (any run of
+    # whitespace; leading-gap empty tokens can't match a stopword, so
+    # they are harmless) — a space-only split would miscount a
+    # stopword glued to a tab/newline (r3 advice)
     hit = {
         lang: (
-            "len(list_filter(string_split(lower(text), ' '), "
+            "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
             f"t -> t IN ({', '.join(repr(w) for w in sorted(ws))})))"
         )
         for lang, ws in LANG_PROFILES.items()

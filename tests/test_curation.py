@@ -118,3 +118,66 @@ def test_bigram_lm_short_docs_dont_crash(spark):
     )
     rows = {(r["w1"], r["w2"]): r["n12"] for r in bigram_lm(docs, min_count=1).collect()}
     assert rows == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def _py_bpe_reference(word_freqs, n_merges):
+    """Independent single-node BPE trainer (Sennrich-style): count
+    adjacent symbol pairs weighted by word freq, merge the argmax
+    (count desc, lhs, rhs) leftmost-non-overlapping, repeat."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (x, y), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, x, y, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Iterated BPE merges on a tiny corpus with a known answer equal
+    an independent Python trainer, including overlap handling
+    ('aaaa' merges to two 'aa', not three) and freq weighting."""
+    from kg.curation import bpe_merges
+
+    rows = [
+        (1, "banana bandana aaaa", "en", "s", 0),
+        (2, "banana banana low lower lowest", "en", "s", 0),
+        (3, "aaaa abab low low", "en", "s", 0),
+    ]
+    words = {}
+    for _, text, *_ in rows:
+        for w in text.split():
+            if w.isalpha() and w.islower() and 2 <= len(w) <= 20:
+                words[w] = words.get(w, 0) + 1
+    expected = _py_bpe_reference(words, 5)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(_docs(spark, rows), n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected, (got, expected)
+    # sanity on the known corpus: the first merge is 'an' (2 positions
+    # in each of banana x3 and bandana x1 = 8, position-counted)
+    assert got[0][1] + got[0][2] == "an" and got[0][3] == 8

@@ -151,6 +151,65 @@ def test_signature_paths_bit_identical(spark):
     assert udf[9002] == tuple([MERSENNE_P] * 32)
 
 
+def test_neutral_hash_matches_python_md5(spark):
+    """The engine-neutral hash (Spark conv/substr/md5) equals the
+    straightforward Python int(md5(s).hexdigest()[:15], 16) — the same
+    value the DuckDB oracle computes via ('0x'||substr(md5,1,15))."""
+    import hashlib
+
+    from kg.dedup import _neutral_hash64
+
+    vals = ["hello", "a b c", "tok1 tok2 tok3", "", "Ünïcode tökens"]
+    df = spark.createDataFrame([(s,) for s in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", _neutral_hash64(F.col("s")).alias("h")).collect()
+    }
+    for s in vals:
+        ref = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == ref, (s, got[s], ref)
+
+
+def test_neutral_lsh_recalls_planted_near_dups(spark):
+    """The neutral-hash LSH (the exact-oracled driver row) keeps the
+    same recall gates as the xxhash64 hot path: all planted near-dups
+    + the exact dup, and verified-jaccard precision."""
+    docs = _planted_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, neutral=True).collect()
+    }
+    for i in range(10):
+        assert (i, 1000 + i) in pairs, (i, pairs)
+    assert pairs[(0, 2000)] == 1.0
+    exact = _exact_jaccard(spark, docs)
+    for a, b in pairs:
+        assert exact.get((a, b), 0.0) >= 0.5
+
+
+def test_neutral_simhash_matches_python_reference(spark):
+    """Neutral simhash == an independent pure-Python md5 sign-sum
+    reference, doc by doc (the same arithmetic the DuckDB oracle
+    re-derives in SQL)."""
+    import hashlib
+
+    from kg.dedup import simhash_signatures
+
+    docs = _planted_docs(spark, n_base=8)
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, neutral=True).collect()
+    }
+    for row in docs.collect():
+        acc = [0] * 64
+        for t in row["text"].split():
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        ref = sum(1 << b for b in range(64) if acc[b] > 0)
+        assert sims[row["doc_id"]] == ref, row["doc_id"]
+
+
 def test_stop_shingle_cap(spark):
     """A boilerplate shingle present in EVERY doc must be dropped from
     the inverted index once its posting list exceeds max_postings:
