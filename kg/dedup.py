@@ -134,28 +134,52 @@ def _neutral_hash64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# polynomial base for combining token hashes into a shingle hash:
+# acc = (acc * B + h_tok) mod P per token. With h, acc < P ~ 2^31 and
+# B ~ 2^20 the product stays < 2^52 (ANSI-safe), and the same
+# arithmetic is a one-liner in DuckDB.
+NEUTRAL_BASE = 1_000_003
+
+
 def with_shingle_hashes_neutral(
     docs: DataFrame, n: int = 3, text_col: str = "text", out: str = "hs"
 ) -> DataFrame:
-    """``with_shingle_hashes`` built on the engine-neutral md5 hash of
-    the shingle STRING instead of xxhash64 over token hashes. Costlier
-    (per-shingle string slicing + md5 vs hashing longs) but still
-    fully JVM-side, and DuckDB can recompute every value — the
-    verifiability path; production pipelines keep the xxhash64
-    default. Short docs (< n tokens) get an empty array."""
+    """``with_shingle_hashes`` with every hash engine-neutral: one md5
+    per TOKEN (reduced mod P), then shingle hash = polynomial combine
+    of the n token hashes — the same hash-longs-not-strings shape as
+    the xxhash64 hot path (an earlier variant md5'd each sliced-out
+    shingle STRING: 2.5x slower, all of it in per-shingle concat+md5).
+    Token hashes materialize as a column first so CollapseProject
+    cannot re-derive them per shingle. DuckDB reproduces every value
+    bit-for-bit — the verifiability path; production pipelines keep
+    the xxhash64 default. Short docs (< n tokens) get an empty
+    array."""
     tokens = F.split(F.col(text_col), " ")
+    d = docs.withColumn(
+        "_nth",
+        F.transform(
+            tokens, lambda t: F.pmod(_neutral_hash64(t), F.lit(HASH_DOMAIN))
+        ),
+    )
+
+    def poly(i):
+        acc = F.element_at(F.col("_nth"), i)
+        for j in range(1, n):
+            acc = F.pmod(
+                acc * NEUTRAL_BASE + F.element_at(F.col("_nth"), i + j),
+                F.lit(MERSENNE_P),
+            )
+        return acc
+
     hashes = F.when(
-        F.size(tokens) >= n,
+        F.size("_nth") >= n,
         F.transform(
             # sequence(1, 0) would DESCEND, hence the >= n guard
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.pmod(
-                _neutral_hash64(F.concat_ws(" ", F.slice(tokens, i, n))),
-                F.lit(HASH_DOMAIN),
-            ),
+            F.sequence(F.lit(1), F.size("_nth") - (n - 1)),
+            poly,
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return docs.withColumn(out, hashes)
+    return d.withColumn(out, hashes).drop("_nth")
 
 
 def with_shingle_hashes(
@@ -533,20 +557,29 @@ def _minhash_oracle_sql(
     the engine under test."""
     rpb = k // bands
     P = MERSENNE_P
+    B = NEUTRAL_BASE
     perms = ",\n      ".join(
         f"({i}, {a}, {b})" for i, a, b in _permutation_params(k, seed)
     )
+    # shingle hash = polynomial of the n token hashes, unrolled to one
+    # expression: ((th[i]*B + th[i+1]) % P * B + th[i+2]) % P for n=3
+    shingle = "th[i]"
+    for j in range(1, n):
+        shingle = f"({shingle} * {B} + th[i + {j}]) % {P}"
     return f"""
     WITH perms(perm, a, b) AS (VALUES
       {perms}
     ),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {P}) AS th
+      FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id,
-             (('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')),
-                              1, 15))::BIGINT) % {P} AS h
-      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
-            FROM toks WHERE len(t) >= {n})),
+      SELECT DISTINCT doc_id, {shingle} AS h
+      FROM (SELECT doc_id, th,
+                   unnest(generate_series(1, len(th) - {n - 1})) AS i
+            FROM toks WHERE len(th) >= {n})),
     sigs AS (
       SELECT s.doc_id, p.perm, MIN((p.a * s.h + p.b) % {P}) AS mh
       FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm),
