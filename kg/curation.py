@@ -185,7 +185,130 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame, phrases: list[str], n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any of the
+    banned word n-grams (eval-set phrases must not leak into training
+    data). The banned list is a plan literal (eval sets are tiny), so
+    the whole check is a PER-ROW array_intersect of the doc's distinct
+    n-gram set against the literal — zero shuffle, zero join, scales
+    as a map-only pass at any corpus size. Emits the hit count and a
+    0/1 flag per doc."""
+    tokens = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    banned = F.array(*[F.lit(p) for p in phrases])
+    hits = F.size(F.array_intersect(F.array_distinct(sh), banned))
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_banned_hits"),
+        (hits > 0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------- training-batch shuffle
+
+
+def shuffle_batches(docs: DataFrame, n_batches: int = 64) -> DataFrame:
+    """Deterministic global training-batch assignment: batch id and
+    within-batch position both derive from an md5 hash of doc_id — a
+    reproducible corpus-wide shuffle (no rand(): reruns, resumes, and
+    both engines produce the identical epoch order). One exchange
+    keyed on batch; the per-batch sort is batch-sized (corpus /
+    n_batches — production picks n_batches so a batch fits an
+    executor)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("batch").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("batch", F.pmod(F.col("h"), F.lit(n_batches)))
+        .select(
+            "doc_id",
+            "batch",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
 # ------------------------------------------------------- driver queries
+
+
+DECON_PHRASE = "zzq eval holdout"  # planted benchmark phrase (3-gram)
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' {DECON_PHRASE}'
+                  ELSE text END AS text
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d))
+    SELECT doc_id,
+           CAST(len(list_intersect(grams, ['{DECON_PHRASE}'])) AS BIGINT)
+             AS n_banned_hits,
+           CAST(CASE WHEN len(list_intersect(grams, ['{DECON_PHRASE}'])) > 0
+                     THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM sh
+    """,
+    extra=True,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus is random tokens, so the query PLANTS the
+    # banned phrase into every 7th doc (identically in the oracle —
+    # the q_text_pii_scrub pattern); the check itself runs over real
+    # engine expressions and must flag exactly those docs
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + DECON_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return decontaminate(d, [DECON_PHRASE])
+
+
+@query(
+    "corpus_shuffle_batches",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents)
+    SELECT doc_id, CAST(h % 64 AS BIGINT) AS batch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 64
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    extra=True,
+)
+def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_batches(T(spark, sf_dir, "documents"))
 
 
 @query(

@@ -9,11 +9,15 @@ Four families over `documents(doc_id, text, lang, source, n_chars)`:
                      web-scale shape), SQL-expressible -> oracle
   * MinHash + LSH  — k seeded linear permutations over shingle hashes,
                      banded signatures, bucket join for candidates,
-                     exact-Jaccard verification of candidates
+                     exact-Jaccard verification of candidates. Two
+                     hash modes: xxhash64 (hot path) and the
+                     engine-neutral md5 polynomial (exact DuckDB
+                     oracle on the driver row — r4)
   * SimHash        — JVM token hashing + one-Arrow-pass sign
                      aggregate; hamming-verified pair extraction via
                      banded bucket join (4 x 16-bit bands: recall 1.0
-                     for hamming <= 3)
+                     for hamming <= 3). Same two hash modes; the
+                     driver row is exact since r4
 
 All shuffles key on shingle / band / bucket — never on the document
 pair space.

@@ -102,10 +102,18 @@ def main() -> int:
         "q_events_json", "q_doc_stats", "dedup_ngram_jaccard",
         "ann_bruteforce_topk", "text_quality", "text_fingerprint",
         "text_chunking", "vocab_topk", "corpus_sample_stratified",
-        "text_pii_scrub", "text_repetition",
+        "text_pii_scrub", "text_repetition", "text_decontaminate",
+        "corpus_shuffle_batches",
     ]:
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)
+
+    # --- decontamination: per-row literal intersect, no join/shuffle ----
+    pd_ = plan_of(R.QUERIES["text_decontaminate"](spark, sf_dir))
+    check(
+        "decontaminate is map-only (zero Exchange, zero Join)",
+        "Exchange" not in pd_ and "Join" not in pd_,
+    )
 
     # --- bucketed fact-fact join: shuffle eliminated at write time -------
     bj2 = R.QUERIES["q_bucketed_join"](spark, sf_dir)

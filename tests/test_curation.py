@@ -181,3 +181,47 @@ def test_bpe_merges_match_python_reference(spark):
     # sanity on the known corpus: the first merge is 'an' (2 positions
     # in each of banana x3 and bandana x1 = 8, position-counted)
     assert got[0][1] + got[0][2] == "an" and got[0][3] == 8
+
+
+def test_decontaminate_flags_planted_phrase_only(spark):
+    from kg.curation import decontaminate
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "en", "s", 0),
+            (2, "alpha beta SECRET EVAL SET gamma", "en", "s", 0),
+            (3, "SECRET EVAL other words here", "en", "s", 0),  # partial
+            (4, "x SECRET EVAL SET SECRET EVAL SET", "en", "s", 0),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_banned_hits"], r["contaminated"])
+        for r in decontaminate(docs, ["SECRET EVAL SET"]).collect()
+    }
+    # distinct-gram semantics: doc 4 contains the phrase twice but the
+    # gram SET is distinct -> 1 hit; doc 3's partial phrase never flags
+    assert got == {1: (0, 0), 2: (1, 1), 3: (0, 0), 4: (1, 1)}, got
+
+
+def test_shuffle_batches_deterministic_and_complete(spark):
+    import hashlib
+
+    from kg.curation import shuffle_batches
+
+    docs = _docs(spark, [(i, "x", "en", "s", 0) for i in range(200)])
+    a = {(r["doc_id"], r["batch"], r["pos"]) for r in shuffle_batches(docs).collect()}
+    b = {
+        (r["doc_id"], r["batch"], r["pos"])
+        for r in shuffle_batches(docs.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert len(a) == 200  # every doc assigned exactly once
+    # batch matches the md5 derivation; positions are 1..size per batch
+    by_batch = {}
+    for doc_id, batch, pos in a:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        assert batch == h % 64, (doc_id, batch)
+        by_batch.setdefault(batch, []).append(pos)
+    for batch, poss in by_batch.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), batch
