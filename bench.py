@@ -12,10 +12,11 @@ better); `queries` holds per-query seconds plus the flagship KG
 pipeline's docs/sec under "kg_pipeline_docs_per_sec".
 
 --scaling mode: run the flagship KG pipeline at two parallelism
-levels (local[4] vs local[16]) on the same input and report
-throughput at both + scaling efficiency (the sandbox stand-in for
-the north rule's N vs 4N executors — BASELINE.md). Results are
-recorded in BENCH/BASELINE.md (r3 gate: 0.884 at 2M pages).
+levels on the same input and report throughput at both + scaling
+efficiency (the sandbox stand-in for the north rule's N vs 4N
+executors — BASELINE.md). Results + window-contention analysis are
+recorded in BENCH/BASELINE.md (r4: 0.919 at local[2]/[8]; the
+16-thread level is the co-tenant-sensitive one on this shared box).
 """
 
 from __future__ import annotations
