@@ -197,7 +197,19 @@ def decontaminate(
     the whole check is a PER-ROW array_intersect of the doc's distinct
     n-gram set against the literal — zero shuffle, zero join, scales
     as a map-only pass at any corpus size. Emits the hit count and a
-    0/1 flag per doc."""
+    0/1 flag per doc.
+
+    Every phrase must be exactly n words: an off-length phrase could
+    never equal any n-gram, and a decontamination op that silently
+    matches nothing is the worst failure mode (eval leakage passes
+    unflagged) — hence the hard check, not a docstring caveat."""
+    if not phrases:
+        raise ValueError("decontaminate: empty banned-phrase list")
+    bad = [p for p in phrases if len(p.split(" ")) != n]
+    if bad:
+        raise ValueError(
+            f"decontaminate: phrases must be exactly {n} words: {bad}"
+        )
     tokens = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(tokens) >= n,
@@ -228,9 +240,9 @@ def shuffle_batches(docs: DataFrame, n_batches: int = 64) -> DataFrame:
     executor)."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from kg.dedup import _neutral_hash64  # one definition of the hash
+
+    h = _neutral_hash64(F.col("doc_id").cast("string"))
     w = Window.partitionBy("batch").orderBy("h", "doc_id")
     return (
         docs.select("doc_id", h.alias("h"))
