@@ -108,6 +108,10 @@ def _dictionary_inputs(spark):
     # one (the same staleness class fixed for kg.relational._BUCKETED)
     key = spark.sparkContext.applicationId
     if key not in _DICT_CACHE:
+        # one-entry cache (r4 advice): a different applicationId means
+        # the old session is gone — drop its dead DataFrame references
+        # instead of accumulating them across session rebuilds
+        _DICT_CACHE.clear()
         aliases = FX.aliases_df(spark)
         evecs = FX.entity_vecs_df(spark)
         comp_rows = stage_components(aliases).collect()  # KB-sized

@@ -122,6 +122,9 @@ def stratified_sample(
 # ----------------------------------------------------------- PII scrub
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# demo-scope: dashed formats only (matches the synthetic planted PII);
+# a production PII pass also needs parenthesized/space/international
+# formats — swap the pattern, the operator shape is unchanged
 PHONE_RE = r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
@@ -199,18 +202,29 @@ def decontaminate(
     as a map-only pass at any corpus size. Emits the hit count and a
     0/1 flag per doc.
 
-    Every phrase must be exactly n words: an off-length phrase could
-    never equal any n-gram, and a decontamination op that silently
-    matches nothing is the worst failure mode (eval leakage passes
-    unflagged) — hence the hard check, not a docstring caveat."""
+    Matching is WHITESPACE- and CASE-insensitive (r4 advice): both the
+    doc and the banned phrases are lowercased, and tokenization splits
+    on ``\\s+`` — an eval phrase separated by tab/newline/double-space
+    or differing in case still flags. (Punctuation variants do not:
+    a production pass would also strip punctuation before comparing.)
+
+    Every phrase must normalize to exactly n words: an off-length
+    phrase could never equal any n-gram, and a decontamination op that
+    silently matches nothing is the worst failure mode (eval leakage
+    passes unflagged) — hence the hard check, not a docstring caveat.
+    One call sweeps ONE n; a real decontamination pass runs several
+    (e.g. n in {8, 13} word-grams) and ORs the flags."""
     if not phrases:
         raise ValueError("decontaminate: empty banned-phrase list")
-    bad = [p for p in phrases if len(p.split(" ")) != n]
+    norm = [" ".join(p.lower().split()) for p in phrases]
+    bad = [p for p, q in zip(phrases, norm) if len(q.split(" ")) != n]
     if bad:
         raise ValueError(
             f"decontaminate: phrases must be exactly {n} words: {bad}"
         )
-    tokens = F.split(F.col("text"), " ")
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
     sh = F.when(
         F.size(tokens) >= n,
         F.transform(
@@ -218,7 +232,7 @@ def decontaminate(
             lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    banned = F.array(*[F.lit(p) for p in phrases])
+    banned = F.array(*[F.lit(p) for p in norm])
     hits = F.size(F.array_intersect(F.array_distinct(sh), banned))
     return docs.select(
         "doc_id",
@@ -277,7 +291,10 @@ DECON_PHRASE = "zzq eval holdout"  # planted benchmark phrase (3-gram)
                          generate_series(1, len(t) - 2),
                          i -> array_to_string(t[i:i+2], ' ')))
                   ELSE CAST([] AS VARCHAR[]) END AS grams
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d))
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x != '') AS t
+            FROM d))
     SELECT doc_id,
            CAST(len(list_intersect(grams, ['{DECON_PHRASE}'])) AS BIGINT)
              AS n_banned_hits,
@@ -525,6 +542,14 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
 
 BPE_MERGE_ROUNDS = 6
 BPE_MAX_WORD_LEN = 20  # bounds the oracle's replace-first unroll
+# re-materialize the vocab through a parquet barrier every this many
+# merge rounds: without it, round r's pair-count job re-executes the
+# r-1 chained _apply_merge folds per vocab row (O(N^2) total merge
+# work) and the Catalyst plan grows linearly with r (optimizer time
+# blows up at tokenizer-realistic merge counts). The vocab is
+# dictionary-sized, so the write is cheap — per-round cost stays O(1)
+# at any n_merges (flat-time gated in tests/test_curation.py).
+BPE_BARRIER_EVERY = 4
 
 
 def _apply_merge(syms, x: str, y: str):
@@ -552,6 +577,8 @@ def bpe_merges(
     docs: DataFrame,
     n_merges: int = BPE_MERGE_ROUNDS,
     max_word_len: int = BPE_MAX_WORD_LEN,
+    barrier_every: int = BPE_BARRIER_EVERY,
+    round_times: list | None = None,
 ) -> DataFrame:
     """Iterated BPE merge training (the third iterative operator
     family beside K7 components and PageRank): N rounds of
@@ -569,7 +596,14 @@ def bpe_merges(
     per-round argmax collect is one row (like K7's dictionary-sized
     collects). Words are restricted to lowercase-alpha, length 2..20
     (keeps the charset SQL-safe and bounds the oracle's per-round
-    replace-first unroll at max_word_len // 2 steps)."""
+    replace-first unroll at max_word_len // 2 steps).
+
+    ``barrier_every`` re-materializes the vocab every that many rounds
+    (see BPE_BARRIER_EVERY) so per-round recompute and plan depth stay
+    O(1) at large n_merges. ``round_times`` (diagnostic) collects
+    per-round wall seconds when a list is passed."""
+    import time as _time
+
     from kg.io import materialize_barrier
 
     spark = docs.sparkSession
@@ -591,6 +625,7 @@ def bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
+        _t0 = _time.monotonic()
         pairs = (
             vocab.filter(F.size("syms") >= 2)  # sequence(1,0) DESCENDS
             .select(
@@ -616,6 +651,10 @@ def bpe_merges(
         x, y, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["pair_count"])
         merges.append((r, x, y, cnt))
         vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), x, y))
+        if barrier_every and r % barrier_every == 0:
+            vocab = materialize_barrier(vocab, "bpe_vocab_r_")
+        if round_times is not None:
+            round_times.append(_time.monotonic() - _t0)
     return spark.createDataFrame(
         merges, "merge_rank long, lhs string, rhs string, pair_count long"
     )

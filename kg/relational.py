@@ -233,6 +233,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tupl
     # rebuilding tables absent from its in-memory catalog (r3 advice);
     # tableExists double-checks the catalog before trusting the hit
     key = (spark.sparkContext.applicationId, sf_dir)
+    # entries from other applicationIds belong to stopped sessions —
+    # evict them so a long-lived process never accumulates dead keys
+    # (r4 advice; several sf_dirs for the LIVE session stay cached)
+    for k in [k for k in _BUCKETED if k[0] != key[0]]:
+        del _BUCKETED[k]
     ob, lb = f"kg_orders_bkt_{sfx}", f"kg_lineitem_bkt_{sfx}"
     if (
         key not in _BUCKETED

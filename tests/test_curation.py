@@ -183,6 +183,42 @@ def test_bpe_merges_match_python_reference(spark):
     assert got[0][1] + got[0][2] == "an" and got[0][3] == 8
 
 
+def test_bpe_merges_50_rounds_flat_time(spark):
+    """Large-n_merges behavior (r4 verdict #4): 50 rounds with the
+    periodic vocab barrier (BPE_BARRIER_EVERY) must (a) still equal
+    the independent Python trainer exactly and (b) keep per-round
+    wall time flat — without the barrier the chained _apply_merge
+    folds make round r re-execute rounds 1..r-1 (O(N^2)), so late
+    rounds would be ~(45/10)^2 ≈ 20x the early ones; the 3x bound
+    below separates that cleanly from host noise."""
+    import random
+
+    from kg.curation import bpe_merges
+
+    rng = random.Random(7)
+    words: dict[str, int] = {}
+    for _ in range(80):
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(6, 12)))
+        words[w] = words.get(w, 0) + rng.randint(1, 9)
+    text = " ".join(w for w, f in sorted(words.items()) for _ in range(f))
+    expected = _py_bpe_reference(words, 50)
+    times: list[float] = []
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(
+            _docs(spark, [(1, text, "en", "s", 0)]),
+            n_merges=50,
+            round_times=times,
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    assert len(got) == 50  # corpus rich enough that rounds never run dry
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean(times[35:50]) < 3 * mean(times[3:18]) + 2.0, times
+
+
 def test_decontaminate_flags_planted_phrase_only(spark):
     from kg.curation import decontaminate
 
@@ -193,6 +229,10 @@ def test_decontaminate_flags_planted_phrase_only(spark):
             (2, "alpha beta SECRET EVAL SET gamma", "en", "s", 0),
             (3, "SECRET EVAL other words here", "en", "s", 0),  # partial
             (4, "x SECRET EVAL SET SECRET EVAL SET", "en", "s", 0),
+            # whitespace/case robustness (r4 advice): tab + double
+            # space separated, and lowercase vs the UPPER banned phrase
+            (5, "pre secret\teval  set post", "en", "s", 0),
+            (6, "pre Secret Eval Set\npost", "en", "s", 0),
         ],
     )
     got = {
@@ -201,7 +241,9 @@ def test_decontaminate_flags_planted_phrase_only(spark):
     }
     # distinct-gram semantics: doc 4 contains the phrase twice but the
     # gram SET is distinct -> 1 hit; doc 3's partial phrase never flags
-    assert got == {1: (0, 0), 2: (1, 1), 3: (0, 0), 4: (1, 1)}, got
+    assert got == {
+        1: (0, 0), 2: (1, 1), 3: (0, 0), 4: (1, 1), 5: (1, 1), 6: (1, 1)
+    }, got
 
 
 def test_shuffle_batches_deterministic_and_complete(spark):
