@@ -46,6 +46,16 @@ HEADLINE_NAMES = [
 SIDE_NAMES = ["dedup_minhash_xxh64"]
 
 
+def _load1() -> float:
+    """1-minute load average — stamped around every timed run so
+    window contention is machine-recorded in the artifact instead of
+    prose (r4 verdict #1a: BENCH_rN readers shouldn't need
+    BENCH/BASELINE.md narration to judge whether a sample was
+    contended; this host is shared and its co-tenant load drifts)."""
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def _bench_queries():
     """Headline + side sets: names -> callables(spark, sf_dir)."""
     import __spark_entry__ as E
@@ -171,17 +181,23 @@ def main() -> None:
     # first-run codegen/JIT cost is reported in aggregate below.
     queries: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    loadavg: dict[str, list[float]] = {"bench_start": [_load1()]}
     cold_total = 0.0
     for name, fn in _bench_queries().items():
         cold = _run_query(spark, fn, sf_dir)
+        loads = [_load1()]
         if name in HEADLINE_NAMES:  # keep the r1-r3 8-query definition
             cold_total += cold
         # cold is a valid sample of the same work (can only be slower
         # for engine reasons), so it joins the min like the kg
         # pipeline's does — and KG_BENCH_TIMED=0 stays well-defined
-        times = [cold] + [_run_query(spark, fn, sf_dir) for _ in range(N_TIMED)]
+        times = [cold]
+        for _ in range(N_TIMED):
+            times.append(_run_query(spark, fn, sf_dir))
+            loads.append(_load1())
         queries[name] = round(min(times), 3)
         samples[name] = [round(t, 3) for t in times]
+        loadavg[name] = [round(l, 2) for l in loads]
     queries["relational_cold_pass_sec"] = round(cold_total, 3)
 
     # one warm-up at reduced size (JIT/codegen — discarded), then
@@ -193,14 +209,17 @@ def main() -> None:
     # report a 4x outlier, which is exactly what BENCH_r03 did)
     _run_kg_pipeline(spark, max(N_BENCH_PAGES // 5, 1000))
     kg_cold, n_pages = _run_kg_pipeline(spark, N_BENCH_PAGES)
-    kg_times = [kg_cold] + [
-        _run_kg_pipeline(spark, N_BENCH_PAGES)[0] for _ in range(N_TIMED)
-    ]
+    kg_loads = [_load1()]
+    kg_times = [kg_cold]
+    for _ in range(N_TIMED):
+        kg_times.append(_run_kg_pipeline(spark, N_BENCH_PAGES)[0])
+        kg_loads.append(_load1())
     kg_sec = min(kg_times)
     queries["kg_pipeline_cold_sec"] = round(kg_cold, 3)
     queries["kg_pipeline_sec"] = round(kg_sec, 3)
     queries["kg_pipeline_docs_per_sec"] = round(n_pages / kg_sec, 1)
     samples["kg_pipeline"] = [round(t, 3) for t in kg_times]
+    loadavg["kg_pipeline"] = [round(l, 2) for l in kg_loads]
 
     total = sum(queries[n] for n in HEADLINE_NAMES) + queries["kg_pipeline_sec"]
     print(
@@ -211,6 +230,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "samples": samples,
+                # self-describing protocol (r4 verdict #5): the numbers
+                # above are interpretable without BENCH/BASELINE.md
+                "protocol": {
+                    "kg_pipeline_n_pages": n_pages,
+                    "n_timed": N_TIMED,
+                    "estimator": "min over cold + n_timed runs",
+                    "master_cpus": int(cpus),
+                },
+                # 1-min loadavg stamped after each sample (first entry
+                # = after the cold run); high values explain outliers
+                "loadavg": loadavg,
                 "sf": sf,
             }
         )
@@ -231,26 +261,44 @@ def _scale_level(cpus: int, n_pages: int) -> dict:
         shuffle_partitions=2 * cpus,
     )
     prev = float("inf")
-    warmups = []
+    warmups, warm_loads = [], []
     for _ in range(4):
+        l0 = _load1()
         sec, _ = _run_kg_pipeline(spark, n_pages)
         warmups.append(round(sec, 2))
+        warm_loads.append([round(l0, 2), round(_load1(), 2)])
         if sec >= prev * 0.85:  # <15% improvement -> steady
             break
         prev = sec
-    times = sorted(_run_kg_pipeline(spark, n_pages)[0] for _ in range(4))
+    runs = []  # (sec, load_before, load_after) per timed run
+    for _ in range(4):
+        l0 = _load1()
+        sec, _ = _run_kg_pipeline(spark, n_pages)
+        runs.append((sec, l0, _load1()))
+    times = sorted(r[0] for r in runs)
     # min is the gate number: this sandbox shares its host (co-tenant
     # load drifts over minutes — identical code measured 37-57 s at
     # one level within an hour), and contention only ever ADDS time,
     # so the least-contended sample is the closest estimate of the
     # machine's true capability; the median and full spread stay in
-    # the JSON so the variance is visible.
+    # the JSON so the variance is visible. The load_trace records the
+    # 1-min loadavg before/after every warm-up and timed run (r4
+    # verdict #1a): window quality is machine-documented in the
+    # artifact, not prose — a miss whose 4N-level trace shows load
+    # above the level's own demand is evidenced as contended.
     return {
         "min_sec": round(times[0], 2),
         "median_sec": round((times[1] + times[2]) / 2, 2),
         "all_sec": [round(t, 2) for t in times],
         "warmup_sec": warmups,
         "docs_per_sec": round(n_pages / times[0], 1),
+        "load_trace": {
+            "warmup": warm_loads,
+            "timed": [
+                {"sec": round(s, 2), "load": [round(a, 2), round(b, 2)]}
+                for s, a, b in runs
+            ],
+        },
     }
 
 
@@ -303,6 +351,15 @@ def scaling(levels=(2, 8), n_pages: int | None = None) -> dict:
     ) / (hi / lo)
     out = {
         "n_pages": n_pages,
+        # self-describing protocol (r4 advice: the gate default moved
+        # from (4,16)@2M to (2,8)@1M, so artifacts must say which
+        # pairing produced them to stay cross-round comparable)
+        "protocol": {
+            "levels": list(levels),
+            "n_pages": n_pages,
+            "estimator": "min_of_4_after_steady_warmup",
+            "host_hw_threads": os.cpu_count(),
+        },
         "levels": results,
         "scaling_efficiency": round(eff, 3),
     }
@@ -312,6 +369,14 @@ def scaling(levels=(2, 8), n_pages: int | None = None) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        # e.g. --scaling --levels=4,16 --pages=2000000 for the legacy
+        # r2/r3 pairing; defaults reproduce the (2,8)@1M gate protocol
+        _levels, _pages = (2, 8), None
+        for _a in sys.argv:
+            if _a.startswith("--levels="):
+                _levels = tuple(int(x) for x in _a.split("=")[1].split(","))
+            elif _a.startswith("--pages="):
+                _pages = int(_a.split("=")[1])
+        scaling(_levels, _pages)
     else:
         main()

@@ -359,6 +359,55 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+    neutral: bool = False,
+) -> DataFrame:
+    """Near-dup CLUSTERS — the deliverable a production dedup actually
+    ships (pairs are an intermediate): feed the verified MinHash+LSH
+    pair edges into connected components, then elect one canonical doc
+    per cluster. Returns one row per clustered doc:
+    (doc_id, cluster_id, cluster_size, is_canonical); a training
+    pipeline keeps `is_canonical = 1` rows and drops the rest.
+    Singleton docs (no near-dup) don't appear — they are trivially
+    canonical.
+
+    Canonical election: min doc_id per cluster, which IS the
+    min-label component id — zero extra work, deterministic across
+    engines/reruns. (Electing by quality instead is one extra
+    dictionary-of-clusters-sized join against kg.textstats scores.)
+
+    Scale shape: the pair edges are near-dup-sized (candidate-pruned,
+    never the pair space); components run with ``corpus_scale=True``
+    — the edge set derives from corpus-sized data, so the driver
+    union-find shortcut is hard-disabled and the O(log n) distributed
+    loop (pointer jumping) is what a small run validates."""
+    from kg.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n, k, bands, threshold, seed, neutral=neutral)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges, corpus_scale=True)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", neutral: bool = False
 ) -> DataFrame:
@@ -546,19 +595,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(T(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle_sql(
+def _minhash_pair_ctes(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
-    threshold: float = 0.2,
     seed: int = 42,
 ) -> str:
-    """EXACT DuckDB oracle for the full MinHash+LSH query (r3: rows-
-    only -> exact). The seeded permutation params embed as VALUES (the
-    ann_lsh_topk pattern); shingle hashes use the engine-neutral md5
-    form, so signatures, band keys, candidate pairs, and the verified
-    jaccard are all re-derived relationally — nothing is taken from
-    the engine under test."""
+    """The shared CTE block of the MinHash+LSH oracle (everything up
+    to the verified-pair aggregate `com` + the `sizes` table): reused
+    verbatim by the pair query's oracle and the cluster query's
+    (which appends a recursive-CTE closure over the pairs)."""
     rpb = k // bands
     P = MERSENNE_P
     B = NEUTRAL_BASE
@@ -570,8 +616,7 @@ def _minhash_oracle_sql(
     shingle = "th[i]"
     for j in range(1, n):
         shingle = f"({shingle} * {B} + th[i + {j}]) % {P}"
-    return f"""
-    WITH perms(perm, a, b) AS (VALUES
+    return f"""perms(perm, a, b) AS (VALUES
       {perms}
     ),
     toks AS (
@@ -601,7 +646,24 @@ def _minhash_oracle_sql(
       FROM cand c
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-      GROUP BY c.doc_a, c.doc_b)
+      GROUP BY c.doc_a, c.doc_b)"""
+
+
+def _minhash_oracle_sql(
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """EXACT DuckDB oracle for the full MinHash+LSH query (r3: rows-
+    only -> exact). The seeded permutation params embed as VALUES (the
+    ann_lsh_topk pattern); shingle hashes use the engine-neutral md5
+    form, so signatures, band keys, candidate pairs, and the verified
+    jaccard are all re-derived relationally — nothing is taken from
+    the engine under test."""
+    return f"""
+    WITH {_minhash_pair_ctes(n, k, bands, seed)}
     SELECT cm.doc_a, cm.doc_b,
            ROUND(CAST(cm.common AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - cm.common), 4) AS jaccard
@@ -610,6 +672,44 @@ def _minhash_oracle_sql(
     JOIN sizes sb ON sb.doc_id = cm.doc_b
     WHERE ROUND(CAST(cm.common AS DOUBLE)
                 / (sa.n_sh + sb.n_sh - cm.common), 4) >= {threshold}
+    """
+
+
+def _dedup_clusters_oracle_sql(
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """EXACT oracle for dedup_clusters: the minhash pair CTE block +
+    a recursive-CTE transitive closure (the graph_components pattern)
+    + canonical election (min doc_id per cluster)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes(n, k, bands, seed)},
+    pairs AS (
+      SELECT cm.doc_a, cm.doc_b
+      FROM com cm
+      JOIN sizes sa ON sa.doc_id = cm.doc_a
+      JOIN sizes sb ON sb.doc_id = cm.doc_b
+      WHERE ROUND(CAST(cm.common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - cm.common), 4) >= {threshold}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    csz AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id)
+    SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+           CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS INT)
+             AS is_canonical
+    FROM comp c JOIN csz s USING (cluster_id)
     """
 
 
@@ -651,6 +751,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the engine-neutral-hash variant (bit-identical pipeline shape);
     # jaccard parity of LSH survivors is gated in tests/test_dedup.py
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"), neutral=True)
+
+
+@query("dedup_clusters", _dedup_clusters_oracle_sql(), extra=True)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact end-to-end composition of two exact families: neutral-hash
+    # minhash pairs -> distributed connected components -> canonical
+    return dedup_clusters(T(spark, sf_dir, "documents"), neutral=True)
 
 
 @query("dedup_minhash_xxh64", extra=True)  # rows-only: xxhash64 hot path

@@ -345,7 +345,245 @@ def ivf_topk(
     )
 
 
-@query("ann_ivf_topk")  # rows-only: stride centroids not SQL-practical
+# ---------------------------------------------- engine-neutral IVF
+#
+# The hot path above scores by cosine with double-valued Lloyd
+# centroids and a numpy argmax — bit-identical across Spark runs, but
+# numpy's pairwise-summation dots can't be matched ulp-for-ulp by a
+# SQL engine, so cell assignments near a tie could differ and the
+# driver row stayed rows-only through r4. The neutral variant (the
+# dedup_minhash_lsh playbook) removes floats from every DECISION:
+# vectors quantize to integers (round(x * 1e6) — exact in int64 and
+# in doubles, |x| < 0.6 in the fixture), the coarse quantizer is true
+# k-means on squared L2 (argmin |c|^2 - 2<v,c>, all integer
+# arithmetic, min-cell tie-break), the Lloyd update re-quantizes the
+# cell mean (round(sum/count) — one IEEE divide of exact integers,
+# identical in any engine), and the seed sample orders by the neutral
+# md5 hash instead of xxhash64. Only the FINAL cos_sim display value
+# touches floats, under the same ROUND(.,6) contract every green ANN
+# row already uses. DuckDB re-derives seeds, both assignment sweeps,
+# centroid refinement, probes, and top-k relationally — the exact
+# oracle on the driver row since r5.
+
+QUANT_SCALE = 1_000_000
+
+
+def _quantize(col):
+    return F.transform(col, lambda x: F.round(x * QUANT_SCALE).cast("long"))
+
+
+def _int_dot(a, b):
+    """Exact integer dot product as a Catalyst fold (sequential, but
+    integer addition is associative — any engine gets the same sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _l2_argmin(cells: list[tuple[int, list[int]]]):
+    """cell_id of the nearest centroid by squared L2 over the
+    quantized vector column ``vq``: argmin(|c|^2 - 2<v,c>) with
+    min-cell tie-break, as ONE map-only expression against literal
+    centroids (|v|^2 is constant per row) — the Catalyst twin of the
+    hot path's numpy argmax, zero shuffle, zero Python."""
+    structs = []
+    for cid, cq in cells:
+        ncsq = sum(x * x for x in cq)
+        lit = F.array(*[F.lit(int(x)) for x in cq]).cast("array<long>")
+        dist = F.lit(int(ncsq)).cast("long") - 2 * _int_dot(F.col("vq"), lit)
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(cid).cast("int").alias("c"))
+        )
+    return F.array_min(F.array(*structs)).getField("c")
+
+
+def ivf_assign_neutral(
+    corpus: DataFrame, n_cells: int = 16
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Neutral IVF index build: md5-ordered seed sample (cell_id =
+    rank of the seed's vec_id), one Lloyd sweep with integer-quantized
+    centroid update, final assignment. Returns (cells, assigned):
+    ``cells`` is the driver-side centroid list (dictionary-sized, the
+    same bounded-driver-work class as ivf_assign's), ``assigned`` is
+    corpus(vec_id, v, cell_id) via the map-only argmin."""
+    from kg.dedup import _neutral_hash64
+
+    vq = corpus.withColumn("vq", _quantize(F.col("v")))
+    seed_rows = sorted(
+        vq.orderBy(_neutral_hash64(F.col("vec_id").cast("string")))
+        .limit(n_cells)
+        .select("vec_id", "vq")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cells0 = [(i + 1, [int(x) for x in r["vq"]]) for i, r in enumerate(seed_rows)]
+    # Lloyd sweep: per-(cell, dim) exact integer sums, centroid dim =
+    # round(sum / count) re-quantized to int (empty cells keep seeds)
+    sums = (
+        vq.withColumn("cell_id", _l2_argmin(cells0))
+        .select("cell_id", F.posexplode("vq").alias("dim", "x"))
+        .groupBy("cell_id", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("nx"))
+        .withColumn("m", F.round(F.col("sx") / F.col("nx")).cast("long"))
+        .groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+        .select("cell_id", F.col("s.m").alias("cq"))
+        .collect()
+    )
+    cmap = dict(cells0)
+    for r in sums:
+        cmap[r["cell_id"]] = [int(x) for x in r["cq"]]
+    cells = sorted(cmap.items())
+    assigned = vq.withColumn("cell_id", _l2_argmin(cells)).select(
+        "vec_id", "v", "cell_id"
+    )
+    return cells, assigned
+
+
+def ivf_topk_neutral(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ivf_topk with every index decision engine-neutral (see the
+    section comment): integer-L2 probes, exact-cosine re-rank within
+    probed cells. Same scale shape as the hot path — corpus never
+    shuffles (map-only assignment), probes broadcast."""
+    spark = corpus.sparkSession
+    cells, assigned = ivf_assign_neutral(corpus, n_cells)
+    cdf = spark.createDataFrame(
+        [(cid, cq, sum(x * x for x in cq)) for cid, cq in cells],
+        "cell_id int, cq array<long>, ncsq long",
+    )
+    qd = (
+        queries.withColumn("vq", _quantize(F.col("qv")))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "dist", F.col("ncsq") - 2 * _int_dot(F.col("vq"), F.col("cq"))
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell_id"))
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(_cosine("qv", "v"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _ivf_oracle_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = EMBED_DIM,
+    scale: int = QUANT_SCALE,
+) -> str:
+    """Full relational re-derivation of ivf_topk_neutral in DuckDB —
+    nothing taken from the engine under test: seeds (md5-ordered),
+    both integer-L2 assignment sweeps, the quantized Lloyd update,
+    probes, and the rounded-cosine top-k. Integer dots stay exact in
+    any engine (every product and partial sum < 2^53); round() is
+    half-away-from-zero in both engines (the CAST(ROUND(x*100)) cents
+    policy already relies on this)."""
+    l2 = (
+        "list_sum(list_transform(s.cq, x -> x * x)) "
+        f"- 2 * list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> t.vq[i] * s.cq[i]))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT)) AS vq
+      FROM corpus),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell_id,
+             vq AS cq
+      FROM (SELECT vec_id, vq FROM vq
+            ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                     ::BIGINT
+            LIMIT {n_cells})),
+    a0 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT t.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {l2}, s.cell_id) AS rk
+        FROM vq t CROSS JOIN seeds s)
+      WHERE rk = 1),
+    sums AS (
+      SELECT a.cell_id, i.i AS dim,
+             CAST(SUM(t.vq[i.i]) AS BIGINT) AS sx, COUNT(*) AS nx
+      FROM a0 a JOIN vq t USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) i
+      GROUP BY a.cell_id, i.i),
+    cent1 AS (
+      SELECT cell_id, list(CAST(round(sx / nx) AS BIGINT) ORDER BY dim) AS cq
+      FROM sums GROUP BY cell_id),
+    cents AS (
+      SELECT s.cell_id, COALESCE(c.cq, s.cq) AS cq
+      FROM seeds s LEFT JOIN cent1 c USING (cell_id)),
+    a1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT t.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {l2}, s.cell_id) AS rk
+        FROM vq t CROSS JOIN cents s)
+      WHERE rk = 1),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv, vq FROM vq WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT t.query_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                  ORDER BY {l2}, s.cell_id) AS rk
+        FROM qs t CROSS JOIN cents s)
+      WHERE rk <= {nprobe}),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN a1 a USING (cell_id)
+      WHERE a.vec_id != p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+      FROM cand JOIN qs q ON q.query_id = cand.query_id
+                JOIN corpus c ON c.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("ann_ivf_topk", _ivf_oracle_sql())  # exact since r5
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall vs brute force gated in tests/test_similarity.py
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_topk_neutral(_fixture_corpus(e), _fixture_queries(e), k=5)
+
+
+@query("ann_ivf_float", extra=True)  # rows-only: numpy/cosine hot path
+def q_ann_ivf_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the production default (double Lloyd centroids, vectorized numpy
+    # argmax assignment — the dedup_minhash_xxh64 pattern): identical
+    # scale shape to the exact-oracled neutral row, index bit-identity
+    # and recall gated in tests/test_similarity.py
     e = T(spark, sf_dir, "embeddings")
     return ivf_topk(_fixture_corpus(e), _fixture_queries(e), k=5)

@@ -92,6 +92,17 @@ def main() -> int:
         "Exchange" not in pa and "Window" not in pa,
         pa[:400],
     )
+    # neutral variant: the final assignment must ALSO be map-only, and
+    # pure Catalyst besides (the argmin is a literal-centroid
+    # expression, not a pandas UDF)
+    _, assigned_n = S.ivf_assign_neutral(corpus, n_cells=8)
+    pn = plan_of(assigned_n)
+    check(
+        "neutral ivf assignment is map-only JVM (no Exchange/Window/Python)",
+        "Exchange" not in pn and "Window" not in pn and "Python" not in pn
+        and "Arrow" not in pn,
+        pn[:400],
+    )
 
     # --- no Python in relational plans ----------------------------------
     from kg import curation  # noqa: F401 (register curation queries)

@@ -80,6 +80,30 @@ def test_lsh_recalls_planted_near_dups(spark):
         assert exact.get((a, b), 0.0) >= 0.5
 
 
+def test_dedup_clusters_planted_groups(spark):
+    """dedup_clusters groups each planted near-dup with its base doc,
+    with the min doc_id elected canonical; the exact dup (doc 2000 of
+    doc 0) lands in doc 0's cluster, making it the one 3-doc cluster.
+    The pair graph is corpus-derived, so corpus_scale forces the
+    distributed components loop — this gates that path end-to-end."""
+    from kg.dedup import dedup_clusters
+
+    docs = _planted_docs(spark)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(docs, threshold=0.5).collect()
+    }
+    for i in range(10):
+        size = 3 if i == 0 else 2
+        assert rows[1000 + i] == (i, size, 0), (i, rows.get(1000 + i))
+        assert rows[i] == (i, size, 1), (i, rows.get(i))
+    assert rows[2000] == (0, 3, 0)
+    # only clustered docs appear; exactly one canonical per cluster
+    assert len(rows) == 21, sorted(rows)
+    canon = [d for d, (_, _, c) in rows.items() if c == 1]
+    assert sorted(canon) == list(range(10))
+
+
 def test_ngram_jaccard_finds_exact_dup(spark):
     docs = _planted_docs(spark)
     pairs = {

@@ -69,6 +69,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_neutral_recall_and_partition_invariance(spark):
+    """The engine-neutral IVF (integer-L2 quantizer, exact DuckDB
+    oracle since r5) must keep useful recall vs brute force AND be
+    invariant to input partitioning (every decision is exact integer
+    arithmetic, so a repartition can't flip a cell assignment)."""
+    from kg.similarity import ivf_topk_neutral
+
+    corpus = _vectors(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(corpus, queries, k=5)
+    ivf = ivf_topk_neutral(corpus, queries, k=5, n_cells=10, nprobe=4)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["vec_id"], r["cos_sim"], r["rk"]) for r in ivf.collect()}
+    ivf_set = {(q, v) for q, v, _, _ in got}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, recall
+    again = {
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rk"])
+        for r in ivf_topk_neutral(
+            corpus.repartition(7), queries, k=5, n_cells=10, nprobe=4
+        ).collect()
+    }
+    assert got == again
+
+
 def test_ivf_index_bit_identical_across_runs(spark):
     """The Lloyd sweep's centroid means are computed by exact integer
     summation (advisor r2: float avg is partial-order-nondeterministic
