@@ -269,6 +269,58 @@ def shuffle_batches(docs: DataFrame, n_batches: int = 64) -> DataFrame:
     )
 
 
+# ------------------------------------------------ sequence packing
+
+
+PACK_SEQ_LEN = 128
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, n_batches: int = 64
+) -> DataFrame:
+    """GPT-style training-sequence packing: put the corpus in the
+    deterministic epoch order (shuffle_batches), concatenate the
+    token streams within each batch, and cut every ``seq_len`` tokens
+    — documents may span sequence boundaries (the standard
+    concat-and-cut pretraining layout: zero padding waste, no
+    bin-packing solver). Emits per non-empty doc its batch/order key,
+    token count, offset in the packed stream, and the first/last
+    sequence ids it occupies; a trainer slices sequence s as tokens
+    [s*seq_len, (s+1)*seq_len) of the batch stream. All integer
+    arithmetic — identical across engines, reruns, partitionings.
+
+    Scale shape: shuffle_batches' one exchange keyed on batch, plus a
+    batch-sized running-sum window — each batch packs independently
+    (exactly how epoch shards pack on a real cluster; n_batches is
+    chosen so a batch fits an executor). Empty docs are dropped (they
+    contribute no tokens)."""
+    from pyspark.sql import Window
+
+    order = shuffle_batches(docs, n_batches)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    counts = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tok")
+    )
+    j = order.join(counts, "doc_id").filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("batch")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        "batch",
+        "pos",
+        "n_tok",
+        start.alias("tok_start"),
+        F.floor(start / seq_len).cast("long").alias("seq_first"),
+        F.floor((start + F.col("n_tok") - 1) / seq_len)
+        .cast("long")
+        .alias("seq_last"),
+    )
+
+
 # ------------------------------------------------------- driver queries
 
 
@@ -338,6 +390,43 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_batches(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents),
+    o AS (
+      SELECT doc_id, CAST(h % 64 AS BIGINT) AS batch,
+             CAST(ROW_NUMBER() OVER (PARTITION BY h % 64
+                                     ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM h),
+    t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS n_tok
+      FROM documents),
+    p AS (
+      SELECT o.doc_id, o.batch, o.pos, t.n_tok,
+             CAST(COALESCE(SUM(t.n_tok) OVER (
+                    PARTITION BY o.batch ORDER BY o.pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_start
+      FROM o JOIN t USING (doc_id)
+      WHERE t.n_tok > 0)
+    SELECT doc_id, batch, pos, n_tok, tok_start,
+           tok_start // {PACK_SEQ_LEN} AS seq_first,
+           (tok_start + n_tok - 1) // {PACK_SEQ_LEN} AS seq_last
+    FROM p
+    """,
+    extra=True,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(T(spark, sf_dir, "documents"))
 
 
 @query(

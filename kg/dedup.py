@@ -408,6 +408,29 @@ def dedup_clusters(
     )
 
 
+def dedup_apply(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+    neutral: bool = False,
+) -> DataFrame:
+    """The deduplicated corpus itself: drop every clustered doc except
+    its cluster's canonical (singletons pass through untouched) — the
+    step a training pipeline actually materializes after
+    dedup_clusters. One left-anti join of the corpus against the
+    (near-dup-sized) non-canonical id set; at 100 TB the loser list is
+    small enough to broadcast, and the corpus is touched once."""
+    losers = (
+        dedup_clusters(docs, n, k, bands, threshold, seed, neutral=neutral)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", neutral: bool = False
 ) -> DataFrame:
@@ -675,18 +698,17 @@ def _minhash_oracle_sql(
     """
 
 
-def _dedup_clusters_oracle_sql(
+def _cluster_ctes(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
     seed: int = 42,
 ) -> str:
-    """EXACT oracle for dedup_clusters: the minhash pair CTE block +
-    a recursive-CTE transitive closure (the graph_components pattern)
-    + canonical election (min doc_id per cluster)."""
-    return f"""
-    WITH RECURSIVE {_minhash_pair_ctes(n, k, bands, seed)},
+    """Minhash pair CTEs + recursive transitive closure + per-doc
+    cluster labels (`comp(id, cluster_id)`) — shared by the cluster
+    query's oracle and dedup_apply's."""
+    return f"""{_minhash_pair_ctes(n, k, bands, seed)},
     pairs AS (
       SELECT cm.doc_a, cm.doc_b
       FROM com cm
@@ -702,7 +724,21 @@ def _dedup_clusters_oracle_sql(
       SELECT u, u FROM edges
       UNION
       SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
-    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def _dedup_clusters_oracle_sql(
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """EXACT oracle for dedup_clusters: the minhash pair CTE block +
+    a recursive-CTE transitive closure (the graph_components pattern)
+    + canonical election (min doc_id per cluster)."""
+    return f"""
+    WITH RECURSIVE {_cluster_ctes(n, k, bands, threshold, seed)},
     csz AS (
       SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       FROM comp GROUP BY cluster_id)
@@ -710,6 +746,24 @@ def _dedup_clusters_oracle_sql(
            CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS INT)
              AS is_canonical
     FROM comp c JOIN csz s USING (cluster_id)
+    """
+
+
+def _dedup_apply_oracle_sql(
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """EXACT oracle for dedup_apply: every doc except the non-canonical
+    cluster members (anti-join on `comp` rows where id != cluster_id)."""
+    return f"""
+    WITH RECURSIVE {_cluster_ctes(n, k, bands, threshold, seed)}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.id = d.doc_id AND c.id != c.cluster_id)
     """
 
 
@@ -758,6 +812,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact end-to-end composition of two exact families: neutral-hash
     # minhash pairs -> distributed connected components -> canonical
     return dedup_clusters(T(spark, sf_dir, "documents"), neutral=True)
+
+
+@query("dedup_apply", _dedup_apply_oracle_sql(), extra=True)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the materialized deduplicated corpus (text dropped: the driver
+    # compare hashes scalar metadata; text equality is implied by
+    # doc_id)
+    return dedup_apply(T(spark, sf_dir, "documents"), neutral=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @query("dedup_minhash_xxh64", extra=True)  # rows-only: xxhash64 hot path

@@ -213,3 +213,75 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
         ).cast("long").alias("bpe_ish_tokens"),
     )
+
+
+# ------------------------------------------------------------- tf-idf
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic corpus-level
+    term-weighting statistic (keyword extraction / quality features
+    for curation). score = tf * ln(N / df), rounded to 4 for the
+    cross-engine compare; ranking orders by the ROUNDED score with a
+    term tie-break, so both engines rank identically whenever the
+    rounded values agree (the same contract every ratio query uses).
+
+    Scale shape: one (doc_id, term) hash agg (tf), one term-keyed agg
+    over it (df — vocabulary-sized, can exceed broadcast size at web
+    scale, so the join back shuffles on the term key: the standard
+    distributed tf-idf shape), then a per-doc top-k window
+    (WindowGroupLimit). N (corpus size) is a driver scalar — one
+    count, the same bounded-driver-work class as K7's shortcut."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+@query(
+    "text_tfidf",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln((SELECT n FROM n) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term)),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 5
+    """,
+    extra=True,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(T(spark, sf_dir, "documents"))

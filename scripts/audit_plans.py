@@ -114,7 +114,7 @@ def main() -> int:
         "ann_bruteforce_topk", "text_quality", "text_fingerprint",
         "text_chunking", "vocab_topk", "corpus_sample_stratified",
         "text_pii_scrub", "text_repetition", "text_decontaminate",
-        "corpus_shuffle_batches",
+        "corpus_shuffle_batches", "corpus_pack_sequences", "text_tfidf",
     ]:
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(f"{name} stays JVM-side", "Python" not in p and "Arrow" not in p)

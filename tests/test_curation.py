@@ -219,6 +219,72 @@ def test_bpe_merges_50_rounds_flat_time(spark):
     assert mean(times[35:50]) < 3 * mean(times[3:18]) + 2.0, times
 
 
+def test_pack_sequences_contiguous_and_exact(spark):
+    """Concat-and-cut packing invariants: within every batch the docs
+    tile the token stream contiguously in epoch order (tok_start ==
+    running sum), sequence ids bracket each doc's token extent at
+    seq_len granularity, empty docs are dropped, and the layout is
+    partitioning-invariant."""
+    from kg.curation import pack_sequences
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 7)), "en", "s", 0)
+            for i in range(50)]
+    rows.append((50, "", "en", "s", 0))  # empty -> dropped
+    docs = _docs(spark, rows)
+    out = [
+        (r["doc_id"], r["batch"], r["pos"], r["n_tok"], r["tok_start"],
+         r["seq_first"], r["seq_last"])
+        for r in pack_sequences(docs, seq_len=4).collect()
+    ]
+    assert {t[0] for t in out} == set(range(50))  # empty doc gone
+    by_batch: dict = {}
+    for t in out:
+        by_batch.setdefault(t[1], []).append(t)
+    for _batch, ts in by_batch.items():
+        ts.sort(key=lambda t: t[2])
+        run = 0
+        for _, _, _, n_tok, tok_start, sf, sl in ts:
+            assert tok_start == run
+            assert sf == tok_start // 4
+            assert sl == (tok_start + n_tok - 1) // 4
+            run += n_tok
+    again = {
+        (r["doc_id"], r["tok_start"])
+        for r in pack_sequences(docs.repartition(5), seq_len=4).collect()
+    }
+    assert again == {(t[0], t[4]) for t in out}
+
+
+def test_tfidf_matches_python_math(spark):
+    """tf-idf on a 3-doc corpus with hand-checkable counts equals
+    round(tf * ln(N/df), 4) from Python's math.log, with (score desc,
+    term) ranking."""
+    import math
+
+    from kg.textstats import tfidf_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana", "en", "s", 0),
+            (2, "banana cherry", "en", "s", 0),
+            (3, "cherry cherry cherry", "en", "s", 0),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"], r["rk"])
+        for r in tfidf_topk(docs, k=5).collect()
+    }
+    s = lambda tf, df: round(tf * math.log(3.0 / df), 4)
+    assert got == {
+        (1, "apple"): (2, 1, s(2, 1), 1),
+        (1, "banana"): (1, 2, s(1, 2), 2),
+        (2, "banana"): (1, 2, s(1, 2), 1),  # score tie -> term asc
+        (2, "cherry"): (1, 2, s(1, 2), 2),
+        (3, "cherry"): (3, 2, s(3, 2), 1),
+    }, got
+
+
 def test_decontaminate_flags_planted_phrase_only(spark):
     from kg.curation import decontaminate
 

@@ -104,6 +104,18 @@ def test_dedup_clusters_planted_groups(spark):
     assert sorted(canon) == list(range(10))
 
 
+def test_dedup_apply_drops_only_non_canonicals(spark):
+    """dedup_apply keeps exactly one doc per near-dup cluster (the min
+    doc_id) and every singleton: on the planted fixture that means the
+    10 near-dups (1000+i) and the exact dup (2000) vanish, the 30 base
+    docs survive."""
+    from kg.dedup import dedup_apply
+
+    docs = _planted_docs(spark)
+    kept = {r["doc_id"] for r in dedup_apply(docs, threshold=0.5).collect()}
+    assert kept == set(range(30)), sorted(kept)
+
+
 def test_ngram_jaccard_finds_exact_dup(spark):
     docs = _planted_docs(spark)
     pairs = {
