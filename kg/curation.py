@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kg.relational import T, query
+from kg.relational import T, query, sql_ws_tokens, ws_tokens
 
 # ------------------------------------------------------------- chunking
 
@@ -204,9 +204,11 @@ def decontaminate(
 
     Matching is WHITESPACE- and CASE-insensitive (r4 advice): both the
     doc and the banned phrases are lowercased, and tokenization splits
-    on ``\\s+`` — an eval phrase separated by tab/newline/double-space
-    or differing in case still flags. (Punctuation variants do not:
-    a production pass would also strip punctuation before comparing.)
+    on any ASCII whitespace run (kg.relational.WS_REGEX — the explicit
+    Java-``\\s`` class both engines agree on) — an eval phrase
+    separated by tab/newline/double-space or differing in case still
+    flags. (Punctuation variants do not: a production pass would also
+    strip punctuation before comparing.)
 
     Every phrase must normalize to exactly n words: an off-length
     phrase could never equal any n-gram, and a decontamination op that
@@ -217,14 +219,15 @@ def decontaminate(
     if not phrases:
         raise ValueError("decontaminate: empty banned-phrase list")
     norm = [" ".join(p.lower().split()) for p in phrases]
-    bad = [p for p, q in zip(phrases, norm) if len(q.split(" ")) != n]
+    # `not q` guards the n=1 hole: a whitespace-only phrase normalizes
+    # to "" whose split has len 1, yet "" can never equal a (non-empty)
+    # token — the silent-no-match failure this check exists to prevent
+    bad = [p for p, q in zip(phrases, norm) if not q or len(q.split(" ")) != n]
     if bad:
         raise ValueError(
-            f"decontaminate: phrases must be exactly {n} words: {bad}"
+            f"decontaminate: phrases must be exactly {n} words: {bad!r}"
         )
-    tokens = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
+    tokens = ws_tokens(F.col("text"), lower=True)
     sh = F.when(
         F.size(tokens) >= n,
         F.transform(
@@ -289,29 +292,39 @@ def pack_sequences(
     [s*seq_len, (s+1)*seq_len) of the batch stream. All integer
     arithmetic — identical across engines, reruns, partitionings.
 
-    Scale shape: shuffle_batches' one exchange keyed on batch, plus a
-    batch-sized running-sum window — each batch packs independently
-    (exactly how epoch shards pack on a real cluster; n_batches is
-    chosen so a batch fits an executor). Empty docs are dropped (they
-    contribute no tokens)."""
+    Scale shape: ONE corpus scan (hash, batch and token count come
+    from the same select — an earlier draft ran shuffle_batches and a
+    second scan for counts, then joined the two corpus-sized sides on
+    doc_id; r5 review finding), one exchange keyed on batch, and a
+    batch-sized window whose two functions (pos + running sum) share
+    a single sort — each batch packs independently (exactly how epoch
+    shards pack on a real cluster; n_batches is chosen so a batch
+    fits an executor). Empty docs are dropped BEFORE ordering, so
+    ``pos`` is the gapless rank among packed docs (same relative
+    order as shuffle_batches, renumbered)."""
     from pyspark.sql import Window
 
-    order = shuffle_batches(docs, n_batches)
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
-    counts = docs.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tok")
+    from kg.dedup import _neutral_hash64  # one definition of the hash
+
+    h = _neutral_hash64(F.col("doc_id").cast("string"))
+    base = (
+        docs.select(
+            "doc_id",
+            h.alias("h"),
+            F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("batch", F.pmod(F.col("h"), F.lit(n_batches)))
     )
-    j = order.join(counts, "doc_id").filter(F.col("n_tok") > 0)
-    w = (
-        Window.partitionBy("batch")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
-    return j.select(
+    wp = Window.partitionBy("batch").orderBy("h", "doc_id")
+    start = F.coalesce(
+        F.sum("n_tok").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return base.select(
         "doc_id",
         "batch",
-        "pos",
+        F.row_number().over(wp).cast("long").alias("pos"),
         "n_tok",
         start.alias("tok_start"),
         F.floor(start / seq_len).cast("long").alias("seq_first"),
@@ -343,9 +356,7 @@ DECON_PHRASE = "zzq eval holdout"  # planted benchmark phrase (3-gram)
                          generate_series(1, len(t) - 2),
                          i -> array_to_string(t[i:i+2], ' ')))
                   ELSE CAST([] AS VARCHAR[]) END AS grams
-      FROM (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x != '') AS t
+      FROM (SELECT doc_id, {sql_ws_tokens("text", lower=True)} AS t
             FROM d))
     SELECT doc_id,
            CAST(len(list_intersect(grams, ['{DECON_PHRASE}'])) AS BIGINT)
@@ -395,29 +406,24 @@ def q_corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_pack_sequences",
     f"""
-    WITH h AS (
+    WITH b AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               AS h
+               AS h,
+             CAST(len({sql_ws_tokens("text")}) AS BIGINT) AS n_tok
       FROM documents),
-    o AS (
-      SELECT doc_id, CAST(h % 64 AS BIGINT) AS batch,
-             CAST(ROW_NUMBER() OVER (PARTITION BY h % 64
-                                     ORDER BY h, doc_id) AS BIGINT) AS pos
-      FROM h),
-    t AS (
-      SELECT doc_id,
-             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                  x -> x != '')) AS BIGINT) AS n_tok
-      FROM documents),
+    nb AS (
+      SELECT doc_id, h, CAST(h % 64 AS BIGINT) AS batch, n_tok
+      FROM b WHERE n_tok > 0),
     p AS (
-      SELECT o.doc_id, o.batch, o.pos, t.n_tok,
-             CAST(COALESCE(SUM(t.n_tok) OVER (
-                    PARTITION BY o.batch ORDER BY o.pos
+      SELECT doc_id, batch, n_tok,
+             CAST(ROW_NUMBER() OVER (PARTITION BY batch
+                                     ORDER BY h, doc_id) AS BIGINT) AS pos,
+             CAST(COALESCE(SUM(n_tok) OVER (
+                    PARTITION BY batch ORDER BY h, doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS BIGINT) AS tok_start
-      FROM o JOIN t USING (doc_id)
-      WHERE t.n_tok > 0)
+      FROM nb)
     SELECT doc_id, batch, pos, n_tok, tok_start,
            tok_start // {PACK_SEQ_LEN} AS seq_first,
            (tok_start + n_tok - 1) // {PACK_SEQ_LEN} AS seq_last

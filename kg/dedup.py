@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kg import io
-from kg.relational import T, query
+from kg.relational import T, query, sql_ws_tokens, ws_tokens
 
 # Mersenne prime 2^31-1: (a*h+b) mod P with a,b,h < P stays inside
 # int64 (a*h < 2^62, ANSI-safe) AND wraps ~2^31 times, so it is a real
@@ -416,18 +416,25 @@ def dedup_apply(
     threshold: float = 0.2,
     seed: int = 42,
     neutral: bool = False,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated corpus itself: drop every clustered doc except
     its cluster's canonical (singletons pass through untouched) — the
     step a training pipeline actually materializes after
     dedup_clusters. One left-anti join of the corpus against the
     (near-dup-sized) non-canonical id set; at 100 TB the loser list is
-    small enough to broadcast, and the corpus is touched once."""
-    losers = (
-        dedup_clusters(docs, n, k, bands, threshold, seed, neutral=neutral)
-        .filter(F.col("is_canonical") == 0)
-        .select("doc_id")
-    )
+    small enough to broadcast, and the corpus is touched once.
+
+    Pass ``clusters`` (a dedup_clusters result) to reuse an already-
+    materialized cluster report instead of re-running the whole
+    signature/LSH/components pipeline (r5 review finding: a pipeline
+    that ships BOTH the report and the deduped corpus should pay for
+    clustering once)."""
+    if clusters is None:
+        clusters = dedup_clusters(
+            docs, n, k, bands, threshold, seed, neutral=neutral
+        )
+    losers = clusters.filter(F.col("is_canonical") == 0).select("doc_id")
     return docs.join(F.broadcast(losers), "doc_id", "left_anti")
 
 
@@ -447,9 +454,7 @@ def simhash_signatures(
     over all-zero bit columns stays 0 on both engines), which lets
     DuckDB recompute the identical simhash — the exact driver
     oracle. Same single Arrow crossing either way."""
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = ws_tokens(F.col(text_col))
     tok_hash = _neutral_hash64 if neutral else F.xxhash64
     hashed = docs.select(
         "doc_id", F.transform(toks, lambda t: tok_hash(t)).alias("_th")
@@ -776,9 +781,7 @@ def _simhash_oracle_sql(prefix_bits: int = 16) -> str:
     JOIN."""
     return f"""
     WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
-               AS t
+      SELECT doc_id, {sql_ws_tokens("text")} AS t
       FROM documents),
     th AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h

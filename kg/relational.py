@@ -56,6 +56,34 @@ def cents(col: str):
     return F.round(F.col(col) * 100).cast("long")
 
 
+# Java \s spelled as an explicit class: Spark (java.util.regex) and
+# DuckDB (RE2) disagree on whether \s includes vertical tab \x0B
+# (Java: yes; RE2: no), so an oracle-checked tokenizer written as
+# `\s+` on both sides is a latent engine-vs-oracle divergence (r5
+# review finding — verified: RE2 '\s+' does NOT split on chr(11)).
+# Every whitespace tokenizer below uses THIS class on BOTH sides.
+WS_REGEX = "[ \\t\\n\\x0B\\f\\r]+"
+_SQL_WS_REGEX = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def ws_tokens(col, lower: bool = False):
+    """Whitespace tokens of a string column, empties dropped — the
+    one shared tokenizer expression behind decontaminate /
+    pack_sequences / tfidf / simhash (drift in any one of them would
+    silently diverge from its hand-written SQL twin)."""
+    c = F.lower(col) if lower else col
+    return F.filter(F.split(c, WS_REGEX), lambda t: t != F.lit(""))
+
+
+def sql_ws_tokens(expr: str, lower: bool = False) -> str:
+    """DuckDB twin of ws_tokens (same explicit whitespace class)."""
+    e = f"lower({expr})" if lower else expr
+    return (
+        f"list_filter(regexp_split_to_array({e}, '{_SQL_WS_REGEX}'), "
+        "x -> x != '')"
+    )
+
+
 # =====================================================================
 # scans / filters / aggregation
 # =====================================================================

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from kg.relational import T, query
+from kg.relational import T, query, sql_ws_tokens, ws_tokens
 
 # minimal high-frequency marker sets per language (public common words)
 LANG_PROFILES: dict[str, set[str]] = {
@@ -230,24 +230,26 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     over it (df — vocabulary-sized, can exceed broadcast size at web
     scale, so the join back shuffles on the term key: the standard
     distributed tf-idf shape), then a per-doc top-k window
-    (WindowGroupLimit). N (corpus size) is a driver scalar — one
-    count, the same bounded-driver-work class as K7's shortcut."""
+    (WindowGroupLimit). N (corpus size) stays IN the plan as a 1-row
+    broadcast aggregate (an eager docs.count() here would run a full
+    corpus scan at DataFrame-CONSTRUCTION time, charging even
+    plan-only consumers like the plan audit — r5 review finding)."""
     from pyspark.sql import Window
 
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
-        ).alias("term"),
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ),
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -259,10 +261,9 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
 
 @query(
     "text_tfidf",
-    """
+    f"""
     WITH terms AS (
-      SELECT doc_id, unnest(list_filter(
-               regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      SELECT doc_id, unnest({sql_ws_tokens("text")}) AS term
       FROM documents),
     tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

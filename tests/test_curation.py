@@ -215,8 +215,12 @@ def test_bpe_merges_50_rounds_flat_time(spark):
     ]
     assert got == expected
     assert len(got) == 50  # corpus rich enough that rounds never run dry
-    mean = lambda xs: sum(xs) / len(xs)
-    assert mean(times[35:50]) < 3 * mean(times[3:18]) + 2.0, times
+    # min, not mean (r5 review): co-tenant bursts on this shared host
+    # can inflate any individual round multi-x, but contention only
+    # ADDS time — the least-contended late round vs the least-contended
+    # early round is the contention-robust O(N^2)-regression detector
+    # (same estimator rationale as bench.py's min-of-N)
+    assert min(times[35:50]) < 3 * min(times[3:18]) + 2.0, times
 
 
 def test_pack_sequences_contiguous_and_exact(spark):
@@ -299,6 +303,9 @@ def test_decontaminate_flags_planted_phrase_only(spark):
             # space separated, and lowercase vs the UPPER banned phrase
             (5, "pre secret\teval  set post", "en", "s", 0),
             (6, "pre Secret Eval Set\npost", "en", "s", 0),
+            # vertical tab: in Java's \s but NOT RE2's — WS_REGEX
+            # spells the class explicitly so both engines split here
+            (7, "pre secret\x0beval set post", "en", "s", 0),
         ],
     )
     got = {
@@ -308,8 +315,15 @@ def test_decontaminate_flags_planted_phrase_only(spark):
     # distinct-gram semantics: doc 4 contains the phrase twice but the
     # gram SET is distinct -> 1 hit; doc 3's partial phrase never flags
     assert got == {
-        1: (0, 0), 2: (1, 1), 3: (0, 0), 4: (1, 1), 5: (1, 1), 6: (1, 1)
+        1: (0, 0), 2: (1, 1), 3: (0, 0), 4: (1, 1), 5: (1, 1), 6: (1, 1),
+        7: (1, 1),
     }, got
+    # a whitespace-only phrase normalizes to "" (split len 1) and could
+    # never match any token — must hard-fail even at n=1 (r5 review)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decontaminate(docs, ["   "], n=1)
 
 
 def test_shuffle_batches_deterministic_and_complete(spark):
