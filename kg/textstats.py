@@ -11,6 +11,7 @@ is exact since r3 (oracle generated from the same LANG_PROFILES).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +32,14 @@ LANG_PROFILES: dict[str, set[str]] = {
 }
 
 
+# the explicit ASCII-whitespace class (kg.relational.WS_REGEX): the
+# kernel used str.split() before r5, which splits on UNICODE
+# whitespace (\xa0,  , ...) while the DuckDB oracle's RE2 \s+ is
+# ASCII-only and excludes \x0B — a latent divergence on exotic
+# whitespace; both sides now use the one class
+_WS_SPLIT = re.compile("[ \t\n\x0B\f\r]+")
+
+
 def detect_lang(text: str) -> str:
     """Pure kernel: CJK char ratio first, then stopword-hit argmax."""
     if not text:
@@ -38,7 +47,7 @@ def detect_lang(text: str) -> str:
     cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
     if cjk / max(len(text), 1) > 0.2:
         return "zh"
-    toks = text.lower().split()
+    toks = [t for t in _WS_SPLIT.split(text.lower()) if t]
     if not toks:
         return "und"
     best, best_hits = "und", 0
@@ -149,13 +158,12 @@ def _lang_oracle_sql() -> str:
     priority (strict > beats later ties), CJK char-ratio rule first.
     Built from the SAME LANG_PROFILES dict, so the two engines cannot
     drift."""
-    # regex whitespace split = the kernel's str.split() (any run of
-    # whitespace; leading-gap empty tokens can't match a stopword, so
-    # they are harmless) — a space-only split would miscount a
-    # stopword glued to a tab/newline (r3 advice)
+    # whitespace split = the kernel's explicit ASCII class (_WS_SPLIT;
+    # a space-only split would miscount a stopword glued to a
+    # tab/newline — r3 advice; \s+ here would miss \x0B — r5 review)
     hit = {
         lang: (
-            "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"len(list_filter({sql_ws_tokens('text', lower=True)}, "
             f"t -> t IN ({', '.join(repr(w) for w in sorted(ws))})))"
         )
         for lang, ws in LANG_PROFILES.items()
