@@ -257,6 +257,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pagerank"] = pagerank_query
     relational.ORACLES.setdefault("kg_pagerank", _pagerank_oracle_sql())
     relational.EXTRA.add("kg_pagerank")
+    # per-vertex triangle counting (degree-ordered orientation), exact
+    # vs an independent id-ordered closure oracle (r5; extra tier)
+    from kg.graph import TRIANGLES_ORACLE, triangle_counts_query
+
+    q["graph_triangles"] = triangle_counts_query
+    relational.ORACLES.setdefault("graph_triangles", TRIANGLES_ORACLE)
+    relational.EXTRA.add("graph_triangles")
     return q
 
 

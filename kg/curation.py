@@ -860,3 +860,219 @@ def q_vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------- bigram-LM quality score
+
+LM_MIN_COUNT = 3  # a bigram is "covered" if the train LM saw it >= this
+
+
+def lm_score(docs: DataFrame, min_count: int = LM_MIN_COUNT) -> DataFrame:
+    """Language-model data-quality scoring: train an add-one-smoothed
+    bigram LM on the held split (even doc_ids — the standard
+    train/score separation, so unseen bigrams genuinely occur) and
+    score EVERY doc's bigrams against it. Per doc: bigram count, OOV
+    bigrams (never seen in training), covered bigrams (seen >=
+    ``min_count`` times), and the average negative log-likelihood
+    under p(w2|w1) = (n12 + 1) / (n1 + V).
+
+    Cross-engine exactness: each bigram's -ln(p) is scaled to integer
+    MICRO-NATS (round(-ln(p) * 1e6) as bigint) BEFORE the per-doc sum,
+    so the sum is order-independent (integer addition commutes; a raw
+    double sum would depend on partitioning). Both engines evaluate
+    the identical ln over the identical exact-integer ratio, so the
+    micro-nat values agree bit-for-bit; avg_nll then divides exact
+    integers once and rounds to 4 (the repo numeric policy). Low
+    avg_nll = fluent/common text, high = junk — the classic
+    perplexity quality filter (perplexity = exp(avg_nll), monotone,
+    so filtering on avg_nll is filtering on perplexity).
+
+    Scale shape: the LM is gram-keyed aggregation (vocabulary-sized
+    output, map-side combine); scoring is one join keyed on (w1, w2)
+    plus one keyed on w1 — shuffles carry corpus bigram occurrences
+    by gram key, never any pair space; V is a 1-row broadcast. Docs
+    with < 2 tokens have no bigrams and are not emitted."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    train = grams.filter(F.col("doc_id") % 2 == 0)
+    lm = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    ctx = lm.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    p = (F.coalesce("n12", F.lit(0)) + 1).cast("double") / (
+        F.coalesce("n1", F.lit(0)) + F.col("v")
+    ).cast("double")
+    scored = (
+        grams.join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.coalesce("n12", F.lit(0)).alias("n12"),
+            F.round(-F.log(p) * 1000000.0).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("n12") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.sum(F.when(F.col("n12") >= min_count, 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.round(
+            F.sum("lp_micro").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1000000.0),
+            4,
+        ).alias("avg_nll"),
+    )
+
+
+# ------------------------------------------------ domain mixture sampling
+
+# target mixture weights by source domain: upsample-free rebalancing
+# (src0 is the quality domain a pretraining mix over-weights 3:1)
+MIX_WEIGHTS = {f"src{i}": 3 if i == 0 else 1 for i in range(20)}
+
+
+def mix_domains(
+    docs: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each source
+    so kept counts are PROPORTIONAL to integer target weights — the
+    training-mix rebalancing step (e.g. weight curated text 3:1 over
+    each crawl source). The binding domain (max n/w headroom ratio...
+    strictly: MIN over domains of n_d / w_d) is kept in full; every
+    other domain's keep-rate is w_d * m / n_d so the kept mix hits the
+    target ratios exactly in expectation, downsample-only (no
+    duplication). Sources absent from ``weights`` are dropped
+    (weight 0).
+
+    Determinism: keep iff md5-hash(doc_id) < rate, no rand() — the
+    sample is identical across engines, reruns, resumes and
+    partitionings. The rate arithmetic is double, but every operation
+    (count/weight divides, min, multiply) is an exactly-rounded IEEE
+    op over exact integers evaluated in the SAME order on both
+    engines, so thresholds — and therefore the kept set — are
+    bit-identical (the same argument as the cosine oracles; integer
+    thresholds in /2^60ths would overflow int64 at realistic counts).
+
+    Scale shape: domain counts are a map-side-combined aggregation to
+    |domains| rows; rates broadcast-join back; the filter is per-row.
+    Two corpus scans total (count + filter) — a production run caches
+    the counts pass or reads them from catalog stats."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "source string, w long"
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ratios = counts.join(F.broadcast(wdf), "source").select(
+        "source",
+        "n",
+        "w",
+        (F.col("n").cast("double") / F.col("w").cast("double")).alias("ratio"),
+    )
+    m = ratios.agg(F.min("ratio").alias("m"))
+    rates = ratios.crossJoin(F.broadcast(m)).select(
+        "source",
+        (
+            (F.col("w").cast("double") * F.col("m"))
+            / F.col("n").cast("double")
+            * F.lit(float(1 << 60))
+        ).alias("thr"),
+    )
+    from kg.dedup import _neutral_hash64  # one definition of the hash
+
+    h = _neutral_hash64(F.col("doc_id").cast("string")).cast("double")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h < F.col("thr"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def _mix_domains_oracle_sql(weights: dict[str, int] | None = None) -> str:
+    """Oracle generated from the SAME weights constant the engine
+    uses (the LANG_PROFILES / hyperplane-VALUES pattern)."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()))
+    return f"""
+    WITH w(source, w) AS (VALUES {vals}),
+    cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    ratios AS (
+      SELECT c.source, c.n, w.w,
+             CAST(c.n AS DOUBLE) / CAST(w.w AS DOUBLE) AS ratio
+      FROM cnt c JOIN w ON w.source = c.source),
+    m AS (SELECT MIN(ratio) AS m FROM ratios),
+    rates AS (
+      SELECT source,
+             CAST(w AS DOUBLE) * (SELECT m FROM m) / CAST(n AS DOUBLE)
+               * 1152921504606846976.0 AS thr
+      FROM ratios)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS DOUBLE) < r.thr
+    """
+
+
+@query(
+    "text_lm_score",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    lm AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM grams WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM lm GROUP BY w1),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)),
+    sc AS (
+      SELECT g.doc_id,
+             COALESCE(lm.n12, 0) AS n12,
+             CAST(ROUND(-ln(CAST(COALESCE(lm.n12, 0) + 1 AS DOUBLE)
+                            / CAST(COALESCE(ctx.n1, 0) + (SELECT v FROM voc)
+                                   AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lp_micro
+      FROM grams g
+      LEFT JOIN lm ON lm.w1 = g.w1 AND lm.w2 = g.w2
+      LEFT JOIN ctx ON ctx.w1 = g.w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN n12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN n12 >= {LM_MIN_COUNT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(lp_micro) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 4) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+    extra=True,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(T(spark, sf_dir, "documents"))
+
+
+@query("corpus_mix_domains", _mix_domains_oracle_sql(), extra=True)
+def q_corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_domains(T(spark, sf_dir, "documents"))

@@ -901,3 +901,116 @@ def minhash_signatures_udf(
             yield pd.DataFrame({"doc_id": bdf["doc_id"], "sig": sigs})
 
     return hashed.mapInPandas(gen, "doc_id long, sig array<long>")
+
+
+# --------------------------------------- cross-doc substring duplication
+
+SUBSTR_N = 5  # word-gram width for span-level duplicate detection
+
+# boilerplate planted into every 5th doc so the operator has real
+# cross-doc spans to find in the random-token fixture (the
+# decontaminate/pii pattern: planted identically in the oracle)
+SUBSTR_BOILER = "all rights reserved contact the site admin today"
+
+
+def substring_dup_stats(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Span-level duplication profile: for every document, how many of
+    its word ``n``-gram positions also occur in ANOTHER document —
+    the substring-duplication statistic behind suffix-array corpus
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): whole-doc dedup (minhash/simhash) misses short
+    boilerplate spans shared across otherwise-distinct pages, which
+    is exactly what inflates memorization. Emits per doc the gram
+    count, the duplicated-gram count, and the duplicated fraction —
+    a pipeline drops or trims docs above a dup_frac threshold.
+
+    Grams are hashed engine-neutrally (one 60-bit md5-derived long
+    per gram — the shuffle carries longs, not strings; a collision
+    could overcount one span in ~2^60, irrelevant at any corpus
+    size and reproduced exactly by the oracle which uses the SAME
+    hash). Scale shape: one shuffle keyed on gram hash (the
+    distinct-doc count per gram is a two-level partial agg, and hot
+    boilerplate grams reduce map-side), one join of gram occurrences
+    to the duplicated-gram set keyed on the hash, one agg keyed on
+    doc_id — the pair space is never materialized, unlike
+    suffix-array construction."""
+    tokens = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", tokens.alias("t")).filter(F.size("t") >= n)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(t, i, {n})))"
+            )
+        ).alias("g"),
+    ).select("doc_id", _neutral_hash64(F.col("g")).alias("gh"))
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_flag = F.when(F.col("nd_hit").isNotNull(), 1).otherwise(0)
+    return (
+        grams.join(shared.withColumn("nd_hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup_flag).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_ngrams",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' {SUBSTR_BOILER}'
+                  ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(t[i:i+{SUBSTR_N - 1}], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {SUBSTR_N} + 1)) AS i
+            FROM toks WHERE len(t) >= {SUBSTR_N})),
+    shared AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(CAST(SUM(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+    FROM grams g LEFT JOIN shared s ON s.gh = g.gh
+    GROUP BY g.doc_id
+    """,
+    extra=True,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant the shared boilerplate span into every 5th doc (identically
+    # in the oracle) — those docs must report exactly the boilerplate's
+    # gram positions as duplicated, everyone else ~0
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_stats(d)

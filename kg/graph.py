@@ -319,3 +319,139 @@ GRAPH_COMPONENTS_ORACLE = """
     SELECT id AS c_custkey, MIN(r) AS component
     FROM reach GROUP BY id
 """
+
+
+# ------------------------------------------------------ triangle counts
+
+
+def _customer_triangle_edges(customers: DataFrame) -> DataFrame:
+    """Deterministic IRREGULAR test graph over custkeys (canonical
+    src < dst): path edges u-(u+1); chords u-(u+2) at u%3==0 (these
+    close triangles) and u-(u+3) at u%4==0 (closing extra triangles
+    where the rules coincide, so per-node counts VARY — a
+    vertex-transitive graph would make every count identical and the
+    oracle trivial); hub edges 0-u at u%7==0 (degree skew: node 0's
+    degree grows with N, the shape that motivates degree-ordered
+    orientation). Out-of-range endpoints drop via the vertex
+    semi-join."""
+    u = F.col("c_custkey")
+    c = customers.select(u.alias("u"))
+    e = (
+        c.select(F.col("u").alias("src"), (F.col("u") + 1).alias("dst"))
+        .unionAll(
+            c.filter(F.col("u") % 3 == 0).select(
+                F.col("u").alias("src"), (F.col("u") + 2).alias("dst")
+            )
+        )
+        .unionAll(
+            c.filter(F.col("u") % 4 == 0).select(
+                F.col("u").alias("src"), (F.col("u") + 3).alias("dst")
+            )
+        )
+        .unionAll(
+            c.filter((F.col("u") % 7 == 0) & (F.col("u") > 0)).select(
+                F.lit(0).cast("long").alias("src"), F.col("u").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    verts = customers.select(F.col("c_custkey").alias("dst"))
+    return e.join(verts, "dst", "left_semi").select("src", "dst")
+
+
+def triangle_counts(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-vertex triangle count via DEGREE-ORDERED orientation
+    (compact-forward): orient every undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges from each
+    source's out-neighbors, and close them against the oriented edge
+    set. Each triangle has exactly one acyclic-orientation apex with
+    out-degree 2, so it is counted once with NO dedup pass.
+
+    Why this shape at scale: out-degrees under degree ordering are
+    bounded by O(sqrt(|E|)) regardless of skew (a hub's edges orient
+    INTO it), so the wedge join — the only superlinear step — never
+    explodes on power-law graphs; all three joins shuffle on vertex
+    ids. ``edges`` must be one row per undirected edge (src < dst);
+    vertices with no triangles emit 0."""
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    lo_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    o = (
+        edges.join(
+            deg.select(F.col("v").alias("src"), F.col("deg").alias("ds")), "src"
+        )
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        )
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") != F.col("e2.b")))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+    )
+    per_node = members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        vertices.select(F.col("id"))
+        .join(per_node, "id", "left")
+        .select("id", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+    )
+
+
+def triangle_counts_query(spark, sf_dir: str) -> DataFrame:
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = _customer_triangle_edges(customers)
+    verts = customers.select(F.col("c_custkey").alias("id"))
+    return triangle_counts(edges, verts).select(
+        F.col("id").alias("c_custkey"), "n_tri"
+    )
+
+
+# independent algorithm in the oracle: id-ordered a<b<c closure over
+# the same edge formula (the engine orients by degree; equality of the
+# two countings is the check)
+TRIANGLES_ORACLE = """
+    WITH c AS (SELECT c_custkey AS u FROM customer),
+    raw AS (
+      SELECT u AS src, u + 1 AS dst FROM c
+      UNION
+      SELECT u, u + 2 FROM c WHERE u % 3 = 0
+      UNION
+      SELECT u, u + 3 FROM c WHERE u % 4 = 0
+      UNION
+      SELECT 0, u FROM c WHERE u % 7 = 0 AND u > 0),
+    ed AS (
+      SELECT src, dst FROM raw
+      WHERE dst IN (SELECT u FROM c)),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM ed e1
+      JOIN ed e2 ON e2.src = e1.dst
+      JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    members AS (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+           FROM members GROUP BY id)
+    SELECT c.u AS c_custkey, COALESCE(pn.n_tri, 0) AS n_tri
+    FROM c LEFT JOIN pn ON pn.id = c.u
+"""

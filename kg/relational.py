@@ -1656,3 +1656,72 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "value_c",
     )
+
+
+# =====================================================================
+# decorrelated scalar subquery (TPC-H Q17 shape)
+# =====================================================================
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#12' AND p_size < 15)),
+    avgq AS (
+      SELECT l_partkey,
+             CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(li.price_c) AS BIGINT) AS revenue_c,
+           ROUND(CAST(SUM(li.price_c) AS DOUBLE) / 700.0, 4) AS avg_yearly
+    FROM li JOIN avgq ON avgq.l_partkey = li.l_partkey
+    WHERE li.qty_c * avgq.n * 5 < avgq.sum_qty_c
+    """,
+    extra=True,  # local-only: decorrelated-scalar-subquery surface
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average — the canonical CORRELATED scalar
+    aggregate subquery, written DECORRELATED (per-part aggregate once,
+    joined back) exactly as Catalyst's RewriteCorrelatedScalarSubquery
+    would plan the subquery form. The brand/size part filter
+    broadcast-semi-joins into BOTH lineitem scans before the per-part
+    shuffle, so the heavy agg runs over the filtered fraction only.
+    ``qty < avg/5`` is compared as exact integers cross-multiplied
+    (qty_c * n * 5 < sum_qty_c): no float average, no rounding
+    boundary. /700.0 = the Q17 avg-yearly convention (7 years) over
+    cents."""
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") < 15)
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .select(
+            "l_partkey",
+            cents("l_quantity").alias("qty_c"),
+            cents("l_extendedprice").alias("price_c"),
+        )
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n")
+    )
+    small = li.join(avgq, "l_partkey").filter(
+        F.col("qty_c") * F.col("n") * 5 < F.col("sum_qty_c")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum("price_c").alias("revenue_c"),
+        F.round(F.sum("price_c").cast("double") / 700.0, 4).alias("avg_yearly"),
+    )

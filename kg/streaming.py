@@ -1,14 +1,16 @@
 """Structured Streaming surface over the stream-shaped `events` table.
 
 Covered: file-source replay, tumbling/sliding/session windows,
-watermarks, dropDuplicatesWithinWatermark, memory + parquet sinks.
-NOT covered here: ``transformWithStateInPandas`` (Spark 4 custom
-stateful processors) — its Python worker requires ``google.protobuf``
-which is absent/broken in this sandbox (verified: the driver worker
-crashes with ImportError on import of protobuf descriptors; no
-network to install). The session-window + dedup ops cover the
-stateful semantics the driver oracle can check; swap-in is local to
-this module once protobuf exists.
+watermarks, dropDuplicatesWithinWatermark, memory + parquet sinks,
+and ARBITRARY custom stateful processing via
+``applyInPandasWithState`` (r5: verified working in this sandbox —
+its worker path does NOT import protobuf). Still NOT covered:
+``transformWithStateInPandas`` (the Spark 4 successor API) — its
+Python worker requires ``google.protobuf`` which is absent/broken
+here (verified: the worker crashes with ImportError on protobuf
+descriptors; no network to install). The stateful semantics are
+fully exercised through the older API; swap-in is local to this
+module once protobuf exists.
 
 Batch parquet replayed as a file stream with Trigger.AvailableNow —
 the standard backfill/replay harness: the same code path serves a
@@ -298,3 +300,120 @@ def stream_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_kg_mentions", extra=True)  # rows-only: NER not in SQL
 def q_stream_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_kg_mentions(spark, sf_dir)
+
+
+# ----------------------------------- custom stateful operator (r5)
+
+_MULTI_SRC_DIRS: dict[str, str] = {}
+STATEFUL_N_FILES = 4
+
+
+def events_multifile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events replayed as STATEFUL_N_FILES separate files with
+    maxFilesPerTrigger=1, so an availableNow run processes MULTIPLE
+    micro-batches and per-key state genuinely carries across batches
+    (the single-file source above collapses to one batch, which would
+    leave cross-batch state untested)."""
+    d = _MULTI_SRC_DIRS.get(sf_dir)
+    if d is None:
+        d = _scratch("src_multi_")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(STATEFUL_N_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _MULTI_SRC_DIRS[sf_dir] = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def stateful_running_totals(
+    spark: SparkSession, sf_dir: str, reduce: bool = True
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per event_type, explicit GroupState carries (count, cents-total)
+    across micro-batches and every batch emits the running totals
+    (update mode) — the building block for streaming feature stores /
+    running counters that windowed aggregation cannot express.
+
+    Determinism despite arbitrary batch splits: emitted counts are
+    CUMULATIVE, so the final state per key — selected as max(n) +
+    max_by(value_c, n) over the sink — equals the batch groupBy no
+    matter how the files split into batches; cents are rounded
+    JVM-side BEFORE the Arrow boundary with the same F.round as the
+    batch oracle (pandas' own round is banker's — replicating HALF_UP
+    in numpy is exactly the engine-vs-oracle drift this avoids), so
+    Python only sums int64. State is per-key-bounded (two longs);
+    production keys (url hosts, user ids) shard across executors by
+    the groupBy hash — no state skew beyond key skew itself."""
+    import pandas as pd  # local: worker-side import stays cheap
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_multifile_stream(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+
+    def fn(key, pdfs, state):
+        n, vc = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vc += int(pdf["value_c"].sum())
+        state.update((n, vc))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "value_c": [vc]}
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        fn,
+        "event_type string, n long, value_c long",
+        "n long, value_c long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_available_now_update(out, "stateful")
+    if not reduce:
+        return sunk  # raw per-batch emissions (tests inspect these)
+    return sunk.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("value_c", "n").alias("value_c"),
+    )
+
+
+def _run_available_now_update(result: DataFrame, name: str) -> DataFrame:
+    """Update-mode twin of _run_available_now (the memory sink then
+    ACCUMULATES one row per key per batch — callers reduce to final
+    state)."""
+    spark = result.sparkSession
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", _scratch(f"ck_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "stream_stateful_totals",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY event_type
+    """,
+    extra=True,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cumulative state replayed over 4 micro-batches must land exactly
+    # on the batch aggregation
+    return stateful_running_totals(spark, sf_dir)

@@ -208,6 +208,35 @@ def main() -> int:
         arrow_count(traw) <= 2 * arrow_count(linked),
     )
 
+    # --- r5 additions -----------------------------------------------------
+    # lm_score / substring dedup / triangles / q17 / mix: all JVM-side,
+    # no cartesian anywhere, and the intended join strategies appear.
+    for name in [
+        "text_lm_score", "dedup_substring_ngrams", "graph_triangles",
+        "q17_small_qty_revenue", "corpus_mix_domains",
+    ]:
+        qn = (
+            R.QUERIES[name]
+            if name in R.QUERIES
+            else __import__("__spark_entry__").all_queries()[name]
+        )
+        p = plan_of(qn(spark, sf_dir))
+        check(
+            f"{name} stays JVM-side, no cartesian",
+            "Python" not in p and "Arrow" not in p
+            and "CartesianProduct" not in p,
+        )
+    p17 = plan_of(R.QUERIES["q17_small_qty_revenue"](spark, sf_dir))
+    check(
+        "q17 part filter broadcasts into the lineitem scans (semi)",
+        "BroadcastHashJoin" in p17 and "LeftSemi" in p17,
+    )
+    pmix = plan_of(R.QUERIES["corpus_mix_domains"](spark, sf_dir))
+    check(
+        "mix_domains rates join back via broadcast",
+        "BroadcastHashJoin" in pmix,
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline

@@ -280,3 +280,56 @@ def test_stop_shingle_cap(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, max_postings=10**6).collect()
     }
     assert (0, 7000) in uncapped
+
+
+def test_substring_dup_stats_planted_boilerplate(spark):
+    """Three hand-built docs: A and B share an exact 6-token span, C
+    is disjoint — the span's 5-gram positions (2 per doc) and nothing
+    else must flag as duplicated."""
+    from kg.dedup import substring_dup_stats
+
+    span = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma"),
+            (2, f"{span} delta epsilon zeta"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+        for r in substring_dup_stats(docs, n=5).collect()
+    }
+    # doc1: 9 tokens -> 5 grams, grams at positions 3,4 are inside span
+    assert got[1] == (5, 2, 0.4)
+    assert got[2] == (5, 2, 0.4)
+    assert got[3] == (5, 0, 0.0)
+
+
+def test_substring_dup_stats_fixture_planted(spark):
+    """On the documents fixture with the boilerplate planted into
+    every 5th doc, every planted doc reports >= 4 duplicated grams
+    (the 4 grams fully inside the 8-token boilerplate) and planted
+    docs dominate the dup mass."""
+    import pyspark.sql.functions as F
+
+    from kg.dedup import SUBSTR_BOILER, substring_dup_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rows = substring_dup_stats(docs).collect()
+    planted = [r for r in rows if r["doc_id"] % 5 == 0]
+    clean = [r for r in rows if r["doc_id"] % 5 != 0]
+    assert planted and all(r["n_dup_grams"] >= 4 for r in planted)
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([r["dup_frac"] for r in planted]) > mean(
+        [r["dup_frac"] for r in clean]
+    )

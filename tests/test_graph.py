@@ -123,3 +123,31 @@ def test_pagerank_matches_numpy_reference(spark):
     # rerun is bit-identical (no rand, deterministic joins)
     again = {r["id"]: r["rank"] for r in pagerank(edges, verts, iters=5).collect()}
     assert again == got
+
+
+def test_triangle_counts_star_plus_edge(spark):
+    """Star 0-{1,2,3,4} plus edge 1-2: exactly one triangle (0,1,2).
+    Hand-checkable, includes a zero-count vertex and a hub whose
+    edges all orient INTO it under degree ordering."""
+    from kg.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(edges, verts).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_triangle_counts_k4(spark):
+    """K4: every vertex sits in C(3,2)=3 triangles, 4 triangles total
+    — each counted once despite the orientation tie-breaks."""
+    from kg.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(edges, verts).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -62,3 +62,40 @@ def test_stream_kg_mentions_equals_batch(spark):
         .collect()
     }
     assert got == want and len(got) >= 2, (got, want)
+
+
+def test_stateful_totals_cross_batch_state(spark):
+    """applyInPandasWithState: the raw update-mode sink must show
+    cumulative per-key emissions ACROSS multiple micro-batches (state
+    actually carried), and the final state must equal the batch
+    aggregation exactly."""
+    from kg.streaming import stateful_running_totals
+
+    raw = stateful_running_totals(spark, SF, reduce=False).collect()
+    # 4-file source, maxFilesPerTrigger=1: at least one key must have
+    # emitted more than once, with strictly increasing running counts
+    by_key = {}
+    for r in raw:
+        by_key.setdefault(r["event_type"], []).append((r["n"], r["value_c"]))
+    assert any(len(v) > 1 for v in by_key.values()), "state never crossed a batch"
+    for k, emis in by_key.items():
+        ns = sorted(n for n, _ in emis)
+        assert ns == [n for n, _ in sorted(emis)] and len(set(ns)) == len(ns), (
+            k,
+            emis,
+        )
+
+    got = {
+        r["event_type"]: (r["n"], r["value_c"])
+        for r in stateful_running_totals(spark, SF).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["value_c"]) for r in batch.collect()}
+    assert got == want
