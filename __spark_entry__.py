@@ -264,6 +264,22 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_triangles"] = triangle_counts_query
     relational.ORACLES.setdefault("graph_triangles", TRIANGLES_ORACLE)
     relational.EXTRA.add("graph_triangles")
+    # synchronous label propagation (fourth iterative family), exact
+    # vs an unrolled per-sweep CTE oracle (r5; extra tier)
+    from kg.graph import _label_propagation_oracle_sql, label_propagation_query
+
+    q["graph_label_propagation"] = label_propagation_query
+    relational.ORACLES.setdefault(
+        "graph_label_propagation", _label_propagation_oracle_sql()
+    )
+    relational.EXTRA.add("graph_label_propagation")
+    # single-source BFS hop counts (fifth iterative family), exact vs
+    # an unrolled per-sweep relaxation CTE oracle (r5; extra tier)
+    from kg.graph import _bfs_oracle_sql, bfs_hops_query
+
+    q["graph_bfs_hops"] = bfs_hops_query
+    relational.ORACLES.setdefault("graph_bfs_hops", _bfs_oracle_sql())
+    relational.EXTRA.add("graph_bfs_hops")
     return q
 
 

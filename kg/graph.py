@@ -455,3 +455,214 @@ TRIANGLES_ORACLE = """
     SELECT c.u AS c_custkey, COALESCE(pn.n_tri, 0) AS n_tri
     FROM c LEFT JOIN pn ON pn.id = c.u
 """
+
+
+# ------------------------------------------------- label propagation
+
+LPA_SWEEPS = 4
+
+
+def label_propagation(
+    edges: DataFrame, vertices: DataFrame, iters: int = LPA_SWEEPS
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: every
+    sweep, each vertex adopts the most frequent label among its
+    neighbors (ties break to the smallest label; isolated vertices
+    keep their own). Fixed sweep count + deterministic tie-break make
+    the result engine-reproducible — async/random-order LPA converges
+    faster but is not oracle-checkable, and sync LPA is what a BSP
+    cluster runs anyway.
+
+    Scale shape per sweep: one join keyed on vertex id (labels onto
+    edge endpoints) + one (vertex, label) aggregation + one per-vertex
+    argmax window — all shuffles vertex-keyed, frontier stays
+    vertex-sized; the fourth iterative family beside connected
+    components, PageRank and BPE training.
+
+    Known sync-LPA property: on bipartite structure labels OSCILLATE
+    with period 2 (a lone edge swaps labels every sweep), so an even
+    ``iters`` returns such vertices to their own labels — communities
+    here come from triangle-dense neighborhoods, which is what the
+    production graph has; async LPA avoids the oscillation but is
+    run-order-dependent and therefore not exactly checkable."""
+    from pyspark.sql import Window
+
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select("id", F.col("id").alias("lab"))
+    w = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(iters):
+        neigh = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("v"), "lab"
+        )
+        best = (
+            neigh.groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), F.col("lab").alias("newlab"))
+        )
+        labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("newlab", "lab").alias("lab")
+        )
+    return labels
+
+
+def label_propagation_query(spark, sf_dir: str) -> DataFrame:
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = _customer_triangle_edges(customers)
+    verts = customers.select(F.col("c_custkey").alias("id"))
+    return label_propagation(edges, verts).select(
+        F.col("id").alias("c_custkey"), "lab"
+    )
+
+
+def _label_propagation_oracle_sql(iters: int = LPA_SWEEPS) -> str:
+    """Unrolled per-sweep CTEs (the PageRank-oracle pattern) over the
+    same deterministic irregular graph as graph_triangles."""
+    rounds = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""h{k} AS (
+      SELECT e.u AS v, l.lab, COUNT(*) AS n
+      FROM sym e JOIN {prev} l ON l.id = e.w GROUP BY 1, 2),
+    b{k} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY n DESC, lab) AS rn
+        FROM h{k}) WHERE rn = 1),
+    l{k} AS (
+      SELECT p.id, COALESCE(b{k}.lab, p.lab) AS lab
+      FROM {prev} p LEFT JOIN b{k} ON b{k}.v = p.id)"""
+        )
+        prev = f"l{k}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH c AS (SELECT c_custkey AS u FROM customer),
+    raw AS (
+      SELECT u AS src, u + 1 AS dst FROM c
+      UNION
+      SELECT u, u + 2 FROM c WHERE u % 3 = 0
+      UNION
+      SELECT u, u + 3 FROM c WHERE u % 4 = 0
+      UNION
+      SELECT 0, u FROM c WHERE u % 7 = 0 AND u > 0),
+    ed AS (SELECT src, dst FROM raw WHERE dst IN (SELECT u FROM c)),
+    sym AS (
+      SELECT src AS u, dst AS w FROM ed
+      UNION ALL
+      SELECT dst AS u, src AS w FROM ed),
+    l0 AS (SELECT u AS id, u AS lab FROM c),
+    {body}
+    SELECT id AS c_custkey, lab FROM l{iters}
+    """
+
+
+# ---------------------------------------------------- BFS hop counts
+
+BFS_SWEEPS = 6
+_BFS_INF = 1_000_000_000
+
+
+def bfs_hops(
+    edges: DataFrame,
+    vertices: DataFrame,
+    source: int,
+    iters: int = BFS_SWEEPS,
+) -> DataFrame:
+    """Single-source BFS shortest-path hop counts by synchronous
+    relaxation sweeps: dist'(v) = min(dist(v), min over neighbors u of
+    dist(u) + 1). Fixed sweep count bounds the answer at ``iters``
+    hops — vertices further than that (or unreachable) report -1; the
+    production graph here has a degree hub, so its diameter is small
+    and 6 sweeps is exact for every vertex (pytest pins a hand graph
+    where the cap genuinely truncates).
+
+    Scale shape per sweep: one vertex-keyed join (current dists onto
+    edge endpoints) + one vertex-keyed min-aggregation; the frontier
+    is never materialized separately, so each sweep costs the same
+    two vertex-sized shuffles regardless of how much of the graph is
+    settled — the BSP trade-off vs delta-stepping, chosen because it
+    is engine-reproducible and oracle-checkable. Fifth iterative
+    family beside components, PageRank, LPA and BPE training."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dist = vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0))
+        .otherwise(F.lit(_BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(iters):
+        relax = sym.join(dist, sym["dst"] == dist["id"]).select(
+            F.col("src").alias("id"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        "id",
+        F.when(F.col("d") >= _BFS_INF, F.lit(-1))
+        .otherwise(F.col("d"))
+        .cast("long")
+        .alias("hops"),
+    )
+
+
+def bfs_hops_query(spark, sf_dir: str) -> DataFrame:
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = _customer_triangle_edges(customers)
+    verts = customers.select(F.col("c_custkey").alias("id"))
+    return bfs_hops(edges, verts, source=0).select(
+        F.col("id").alias("c_custkey"), "hops"
+    )
+
+
+def _bfs_oracle_sql(iters: int = BFS_SWEEPS) -> str:
+    """Unrolled per-sweep relaxation CTEs over the same deterministic
+    irregular graph as graph_triangles / graph_label_propagation."""
+    rounds = []
+    prev = "d0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""d{k} AS (
+      SELECT id, MIN(d) AS d FROM (
+        SELECT id, d FROM {prev}
+        UNION ALL
+        SELECT e.u AS id, p.d + 1 AS d
+        FROM sym e JOIN {prev} p ON p.id = e.w) GROUP BY id)"""
+        )
+        prev = f"d{k}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH c AS (SELECT c_custkey AS u FROM customer),
+    raw AS (
+      SELECT u AS src, u + 1 AS dst FROM c
+      UNION
+      SELECT u, u + 2 FROM c WHERE u % 3 = 0
+      UNION
+      SELECT u, u + 3 FROM c WHERE u % 4 = 0
+      UNION
+      SELECT 0, u FROM c WHERE u % 7 = 0 AND u > 0),
+    ed AS (SELECT src, dst FROM raw WHERE dst IN (SELECT u FROM c)),
+    sym AS (
+      SELECT src AS u, dst AS w FROM ed
+      UNION ALL
+      SELECT dst AS u, src AS w FROM ed),
+    d0 AS (SELECT u AS id,
+                  CAST(CASE WHEN u = 0 THEN 0 ELSE {_BFS_INF} END AS BIGINT)
+                    AS d
+           FROM c),
+    {body}
+    SELECT id AS c_custkey,
+           CAST(CASE WHEN d >= {_BFS_INF} THEN -1 ELSE d END AS BIGINT)
+             AS hops
+    FROM d{iters}
+    """

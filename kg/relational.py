@@ -1725,3 +1725,192 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_c").alias("revenue_c"),
         F.round(F.sum("price_c").cast("double") / 700.0, 4).alias("avg_yearly"),
     )
+
+
+# =====================================================================
+# partition-pruned scan (hive-layout write + partition pruning)
+# =====================================================================
+
+_PART_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events written ONCE per (session, sf_dir) in hive layout
+    partitioned by event_type — the physical layout a 100 TB corpus
+    uses so per-type queries touch 1/|types| of the files. Keyed by
+    applicationId like _BUCKETED (a stopped session's scratch must
+    not leak into the next)."""
+    from kg.io import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _PART_DIRS.get(key)
+    if d is None:
+        for k in [k for k in _PART_DIRS if k[0] != key[0]]:
+            del _PART_DIRS[k]  # evict foreign applicationIds
+        d = scratch_dir("part_events_")
+        (
+            T(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(d)
+        )
+        _PART_DIRS[key] = d
+    return d
+
+
+@query(
+    "q_partition_pruned_scan",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    extra=True,  # local-only: partitioned-layout scan surface
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day purchase totals over the PARTITIONED layout: the
+    event_type predicate resolves at PLANNING time against directory
+    names (PartitionFilters in the scan node — asserted in
+    scripts/audit_plans.py), so non-purchase files are never opened.
+    The partition column comes back from the path, not the file,
+    which is why the layout round-trips exactly."""
+    ev = spark.read.parquet(_partitioned_events_dir(spark, sf_dir))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+    )
+
+
+# =====================================================================
+# group-having join-back (TPC-H Q18 shape)
+# =====================================================================
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000)
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           big.sum_qty_c
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    extra=True,  # local-only: group-having join-back surface
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the FACT table
+    first (one orderkey-keyed shuffle with map-side partial sums),
+    filter with HAVING to the tiny qualifying set, then join BACK to
+    orders and customer. At 100 TB the having-filtered aggregate is
+    orders_with_300+_items-sized (a few per million), so it
+    broadcasts into both dimension joins — the scan-heavy work
+    happens exactly once, before any join. Quantities compared in
+    exact integer cents (300 units = 30000)."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 30000)
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(
+            F.broadcast(big), o["o_orderkey"] == big["l_orderkey"]
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            cents("o_totalprice").alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+# =====================================================================
+# global scalar subquery + anti join (TPC-H Q22 shape)
+# =====================================================================
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH pool AS (
+      SELECT c_custkey,
+             CAST(c_nationkey % 10 AS BIGINT) AS cntry,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)),
+    avgpos AS (
+      SELECT CAST(SUM(bal_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pool WHERE bal_c > 0)
+    SELECT pool.cntry,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(pool.bal_c) AS BIGINT) AS total_bal_c
+    FROM pool, avgpos
+    WHERE pool.bal_c * avgpos.n > avgpos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY pool.cntry
+    """,
+    extra=True,  # local-only: global-scalar-subquery + NOT EXISTS surface
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in selected country codes whose
+    balance beats the GLOBAL average of positive balances and who have
+    placed no urgent order (this fixture gives every customer at least
+    one order, so the reference Q22 no-orders-at-all predicate is
+    empty here — the no-URGENT-orders variant keeps the identical NOT
+    EXISTS -> left-anti decorrelation with a selective filter pushed
+    into the anti side). The global average is a one-row aggregate
+    broadcast into every partition (BroadcastNestedLoopJoin on a
+    single row — free), and the comparison is exact-integer
+    cross-multiplied (bal_c * n > s): no float average anywhere.
+    Country code is c_nationkey % 10 (the fixture has no phone
+    column; same cardinality role as Q22's cntrycode)."""
+    pool = (
+        T(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 10).cast("long").alias("cntry"),
+            cents("c_acctbal").alias("bal_c"),
+        )
+    )
+    avgpos = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    urgent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        pool.join(urgent, "c_custkey", "left_anti")
+        .join(F.broadcast(avgpos))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_c").alias("total_bal_c"),
+        )
+    )

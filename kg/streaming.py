@@ -385,16 +385,18 @@ def stateful_running_totals(
     )
 
 
-def _run_available_now_update(result: DataFrame, name: str) -> DataFrame:
-    """Update-mode twin of _run_available_now (the memory sink then
-    ACCUMULATES one row per key per batch — callers reduce to final
-    state)."""
+def _run_available_now_update(
+    result: DataFrame, name: str, mode: str = "update"
+) -> DataFrame:
+    """Update/append-mode twin of _run_available_now (the memory sink
+    then ACCUMULATES rows across batches — update callers reduce to
+    final state; append callers read the rows as-is)."""
     spark = result.sparkSession
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("update")
+        .outputMode(mode)
         .option("checkpointLocation", _scratch(f"ck_{name}_"))
         .trigger(availableNow=True)
         .start()
@@ -417,3 +419,158 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative state replayed over 4 micro-batches must land exactly
     # on the batch aggregation
     return stateful_running_totals(spark, sf_dir)
+
+
+# ------------------------------------------- stream-stream / stream-static
+
+
+_TIME_SRC_DIRS: dict[str, str] = {}
+
+
+def events_timeordered_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = STATEFUL_N_FILES
+) -> DataFrame:
+    """Events replayed as n_files TIME-ORDERED files (contiguous ts
+    ranges, file names and mtimes both ascending so FileStreamSource
+    picks them up in order). Watermark semantics assume event time
+    advances roughly with arrival order — the randomly-partitioned
+    replay above violates that (every batch contains the full time
+    range, so a 1-hour watermark after batch 1 classifies most of
+    batch 2 as late and drops join state), which is correct watermark
+    behavior but wrong as a replay harness. A live, approximately
+    ordered stream is what this source simulates."""
+    key = f"{sf_dir}:{n_files}"
+    d = _TIME_SRC_DIRS.get(key)
+    if d is None:
+        import glob
+        import shutil
+
+        d = _scratch("src_torder_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import Window
+
+        sliced = ev.withColumn(
+            "_slice",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+        )
+        for i in range(1, n_files + 1):
+            tmp = _scratch(f"src_torder_tmp{i}_")
+            (
+                sliced.filter(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = os.path.join(d, f"{i:02d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        _TIME_SRC_DIRS[key] = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def stream_stream_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time range condition: each
+    purchase joins the same user's clicks in the preceding hour
+    (attribution). Both sides stream from the time-ordered 4-file
+    replay, so matches genuinely cross micro-batches (a purchase early
+    in batch 3 finds a click buffered from batch 2); the 1-hour
+    watermarks bound the buffered state exactly as on a live stream —
+    without them the click buffer would grow forever. Inner-join
+    append emits each match the moment both sides have arrived (only
+    OUTER stream-stream joins gate emission on the watermark), so
+    availableNow over the finite replay equals the batch join."""
+    p = (
+        events_timeordered_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        events_timeordered_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "user_id",
+        "p_event_id",
+        "c_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+    )
+    return _run_available_now_update(j, "ssjoin", mode="append")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT p.user_id,
+           p.event_id AS p_event_id,
+           c.event_id AS c_event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    extra=True,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_purchase_clicks(spark, sf_dir)
+
+
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriches against the
+    static customer dimension (user_id = c_custkey) — the standard
+    streaming-enrichment shape; the static side broadcasts into every
+    micro-batch, no state. Aggregated to per-market-segment totals in
+    complete mode."""
+    ev = events_multifile_stream(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    return _run_available_now(agg, "sstatic")
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    extra=True,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_static_segment_counts(spark, sf_dir)

@@ -236,6 +236,41 @@ def main() -> int:
         "mix_domains rates join back via broadcast",
         "BroadcastHashJoin" in pmix,
     )
+    plpa = plan_of(
+        __import__("__spark_entry__").all_queries()["graph_label_propagation"](
+            spark, sf_dir
+        )
+    )
+    check(
+        "label propagation stays JVM-side, no cartesian",
+        "Python" not in plpa and "CartesianProduct" not in plpa,
+    )
+    p18 = plan_of(R.QUERIES["q18_large_orders"](spark, sf_dir))
+    check(
+        "q18 having-filtered agg broadcasts into the join-back",
+        "BroadcastHashJoin" in p18 and "CartesianProduct" not in p18,
+    )
+    p22 = plan_of(R.QUERIES["q22_idle_rich_customers"](spark, sf_dir))
+    check(
+        "q22 NOT EXISTS decorrelates to a hash anti join",
+        "LeftAnti" in p22 and "CartesianProduct" not in p22,
+    )
+    pbfs = plan_of(
+        __import__("__spark_entry__").all_queries()["graph_bfs_hops"](
+            spark, sf_dir
+        )
+    )
+    check(
+        "bfs stays JVM-side, no cartesian",
+        "Python" not in pbfs and "CartesianProduct" not in pbfs,
+    )
+    ppart = plan_of(R.QUERIES["q_partition_pruned_scan"](spark, sf_dir))
+    check(
+        "partitioned scan prunes at planning time (PartitionFilters)",
+        "PartitionFilters: [isnotnull(event_type" in ppart
+        and "event_type" not in ppart.split("ReadSchema")[-1],
+        ppart[-600:],
+    )
 
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the

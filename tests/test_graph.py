@@ -151,3 +151,83 @@ def test_triangle_counts_k4(spark):
     verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
     got = {r["id"]: r["n_tri"] for r in triangle_counts(edges, verts).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: sync LPA must give each
+    triangle a uniform label, matching an independent python
+    reference sweep-for-sweep."""
+    from kg.graph import label_propagation
+
+    e = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 12]], "id long"
+    )
+    got = {r["id"]: r["lab"] for r in label_propagation(edges, verts).collect()}
+
+    # independent reference: synchronous sweeps, most-frequent
+    # neighbor label, ties to smallest
+    from collections import Counter
+
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in [0, 1, 2, 10, 11, 12]}
+    for _ in range(4):
+        new = {}
+        for v in lab:
+            cnt = Counter(lab[u] for u in adj.get(v, []))
+            if cnt:
+                top = max(cnt.values())
+                new[v] = min(l for l, n in cnt.items() if n == top)
+            else:
+                new[v] = lab[v]
+        lab = new
+    assert got == lab
+    assert len({got[v] for v in (0, 1, 2)}) == 1  # uniform per clique
+    assert len({got[v] for v in (10, 11, 12)}) == 1
+
+
+def test_label_propagation_isolated_keeps_label(spark):
+    """Isolated vertices keep their own label; a lone edge exhibits
+    the KNOWN sync-LPA 2-cycle (each endpoint adopts the other's
+    label every sweep — on bipartite structure synchronous LPA
+    oscillates by design, see the operator docstring), so after an
+    EVEN sweep count both endpoints are back to their own labels."""
+    from kg.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    got = {r["id"]: r["lab"] for r in label_propagation(edges, verts).collect()}
+    assert got[99] == 99 and got[1] == 1 and got[2] == 2
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 0-1-2-3 plus a shortcut 0-3: BFS must take the shortcut
+    (hops(3)=1, not 3); vertex 9 is unreachable -> -1."""
+    from kg.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 9]], "id long")
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, verts, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 9: -1}
+
+
+def test_bfs_hops_sweep_cap_truncates(spark):
+    """A 10-vertex path with iters=3: vertices beyond 3 hops must
+    report the -1 sentinel, not a wrong finite distance."""
+    from kg.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    got = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(edges, verts, 0, iters=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1, 6: -1, 7: -1, 8: -1, 9: -1}

@@ -99,3 +99,79 @@ def test_stateful_totals_cross_batch_state(spark):
     )
     want = {r["event_type"]: (r["n"], r["value_c"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_crosses_batches(spark):
+    """The purchase-click attribution join must equal the batch join
+    AND at least one matched pair must span two replay files — proof
+    the buffered join state survived a micro-batch boundary. Runs at
+    sf0.01 (the driver's scale): sf0.001's five pairs are all
+    time-adjacent and land in the same replay slice at ANY file
+    count (measured), so only the larger fixture exercises the
+    cross-batch property."""
+    from kg.streaming import (
+        STATEFUL_N_FILES,
+        stream_stream_purchase_clicks,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in stream_stream_purchase_clicks(spark, sf01).collect()
+    }
+    ev = spark.read.parquet(f"{sf01}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    want_rows = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("p_id", "c_id", "p_ts", "c_ts")
+        .collect()
+    )
+    assert got == {(r["p_id"], r["c_id"]) for r in want_rows}
+    assert got, "fixture produced no purchase-click pairs"
+
+    # recompute the replay's ntile slice per event: some pair must
+    # span two slices (= two micro-batches)
+    from pyspark.sql import Window
+
+    sliced = ev.withColumn(
+        "_slice", F.ntile(STATEFUL_N_FILES).over(Window.orderBy("ts", "event_id"))
+    )
+    slice_of = {r["event_id"]: r["_slice"] for r in sliced.select("event_id", "_slice").collect()}
+    assert any(slice_of[p_] != slice_of[c_] for p_, c_ in got), (
+        "no matched pair spans a batch boundary — cross-batch state untested"
+    )
+
+
+def test_stream_static_join_equals_batch(spark):
+    from kg.streaming import stream_static_segment_counts
+
+    got = {
+        r["c_mktsegment"]: (r["n"], r["value_c"])
+        for r in stream_static_segment_counts(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    want = {r["c_mktsegment"]: (r["n"], r["value_c"]) for r in batch.collect()}
+    assert got == want
