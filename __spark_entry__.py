@@ -228,6 +228,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal,
         relational,
         similarity,
+        sketch,
         streaming,
         textstats,
     )

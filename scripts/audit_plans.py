@@ -264,6 +264,13 @@ def main() -> int:
         "bfs stays JVM-side, no cartesian",
         "Python" not in pbfs and "CartesianProduct" not in pbfs,
     )
+    for name in ("sketch_cms_heavy_hitters", "sketch_hll_distinct"):
+        p = plan_of(R.QUERIES[name](spark, sf_dir))
+        check(
+            f"{name} stays JVM-side, no cartesian",
+            "Python" not in p and "Arrow" not in p
+            and "CartesianProduct" not in p,
+        )
     ppart = plan_of(R.QUERIES["q_partition_pruned_scan"](spark, sf_dir))
     check(
         "partitioned scan prunes at planning time (PartitionFilters)",

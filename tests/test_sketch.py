@@ -1,0 +1,43 @@
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kg.session import build_session
+
+    s = build_session(master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def test_cms_one_sided_and_absent_probe(spark):
+    """Count-min guarantees est >= true for every token; the absent
+    probe's true count is 0 (its estimate may exceed 0 only through
+    collisions — either way one-sidedness must hold)."""
+    from kg.sketch import sketch_cms_heavy_hitters
+
+    rows = {
+        r["token"]: (r["est_n"], r["true_n"])
+        for r in sketch_cms_heavy_hitters(spark, SF).collect()
+    }
+    assert set(rows) == {"join", "hash", "scan", "zzz-unseen"}
+    for tok, (est, true) in rows.items():
+        assert est >= true, f"{tok}: CMS underestimated ({est} < {true})"
+    assert rows["zzz-unseen"][1] == 0
+    assert rows["join"][1] > 0  # planted frequent token really occurs
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL raw estimator with m=256 has ~6.5% standard error in the
+    n >> m regime; assert within 4 sigma (26%) of the exact distinct
+    count, and that the integer-denominator construction produced a
+    positive finite estimate."""
+    from kg.sketch import sketch_hll_distinct
+
+    r = sketch_hll_distinct(spark, SF).collect()[0]
+    est, true = r["est_distinct"], r["true_distinct"]
+    assert true > 2.5 * 256, "fixture bigram vocab below the raw regime"
+    assert est > 0
+    assert abs(est - true) / true < 0.26, (est, true)
