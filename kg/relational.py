@@ -1914,3 +1914,173 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_c").alias("total_bal_c"),
         )
     )
+
+
+# =====================================================================
+# bloom-filter runtime join pruning
+# =====================================================================
+
+BLOOM_BITS = 65536  # default sizing: ~0.1% fill at dim sizes here
+BLOOM_K = 3
+# 63-bit words: DuckDB's BIGINT << raises on the sign bit (1 << 63
+# overflows) while Spark wraps silently, so bit 63 is the one word
+# position the two engines disagree on — keep bits 0..62 only
+_BLOOM_WORD = 63
+
+
+def _bloom_pos(key_col, j: int, bits: int):
+    from kg.dedup import _neutral_hash64
+
+    return F.pmod(
+        _neutral_hash64(F.concat(F.lit(f"{j}:"), key_col.cast("string"))),
+        F.lit(bits),
+    )
+
+
+def bloom_prune_semi_join(
+    spark: SparkSession, sf_dir: str, bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Runtime bloom-filter join pruning — the pattern that cuts a
+    100 TB fact-dim join's shuffle volume: build a ``bits``-wide
+    bitmap from the filtered dim keys (distributed bit_or into
+    bits/63 words; only the BITMAP is collected, never the keys),
+    embed it as a literal map in the probe plan, and filter the fact
+    side MAP-ONLY (all K bit tests inline in the scan stage — no
+    join, no shuffle) before the exact verification join. The exact
+    join then runs over the bloom survivors only; its result is
+    identical with or without the bloom (one-sided filter), which the
+    n_true/n_false accounting makes visible. Word size is 63 bits —
+    see _BLOOM_WORD. OSS Spark's own runtime bloom
+    (spark.sql.optimizer.runtimeFilter.bloomFilter) is a black-box
+    JVM hash; this construction is engine-neutral md5 end-to-end, so
+    bitmap words, survivor set and counters re-derive exactly in the
+    DuckDB oracle."""
+    dimk = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") >= 40))
+        .select("p_partkey")
+    )
+    posed = dimk.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("p_partkey"), j, bits) for j in range(BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    bm_rows = (
+        posed.select(
+            (F.col("pos") - F.pmod("pos", F.lit(_BLOOM_WORD)))
+            .cast("long")
+            .alias("_n"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))").alias(
+                "bit"
+            ),
+        )
+        .select((F.col("_n") / _BLOOM_WORD).cast("long").alias("bucket"), "bit")
+        .groupBy("bucket")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    bm = {r["bucket"]: r["bits"] for r in bm_rows}
+    probe = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        cents("l_extendedprice").alias("price_c"),
+    )
+    if bm:
+        map_lit = F.create_map(
+            *[
+                x
+                for b in sorted(bm)
+                for x in (F.lit(b).cast("long"), F.lit(bm[b]).cast("long"))
+            ]
+        )
+        # each hash position is computed ONCE as a named column; word
+        # lookup and bit test both reference it (no duplicated md5)
+        posed = probe
+        for j in range(BLOOM_K):
+            posed = posed.withColumn(
+                f"_pos{j}", _bloom_pos(F.col("l_partkey"), j, bits)
+            )
+        cond = F.lit(True)
+        for j in range(BLOOM_K):
+            pos = F.col(f"_pos{j}")
+            word = F.coalesce(
+                F.element_at(
+                    map_lit,
+                    ((pos - F.pmod(pos, F.lit(_BLOOM_WORD))) / _BLOOM_WORD)
+                    .cast("long"),
+                ),
+                F.lit(0),
+            ).cast("long")
+            bit = F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(_pos{j} % {_BLOOM_WORD} AS INT))"
+            )
+            cond = cond & (word.bitwiseAND(bit) != 0)
+        survivors = posed.filter(cond).drop(
+            *[f"_pos{j}" for j in range(BLOOM_K)]
+        )
+    else:
+        survivors = probe.filter(F.lit(False))
+    joined = survivors.join(
+        F.broadcast(dimk.withColumnRenamed("p_partkey", "l_partkey").withColumn("_m", F.lit(1))),
+        "l_partkey",
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)).alias("n_true_match"),
+        F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when(F.col("_m").isNotNull(), F.col("price_c")).otherwise(0)).alias(
+            "revenue_c"
+        ),
+    )
+
+
+def _bloom_oracle_sql(bits: int = BLOOM_BITS) -> str:
+    js = ", ".join(f"({j})" for j in range(BLOOM_K))
+    return f"""
+    WITH js(j) AS (VALUES {js}),
+    dimk AS (SELECT p_partkey FROM part
+             WHERE p_brand = 'Brand#23' AND p_size >= 40),
+    pos AS (
+      SELECT (('0x' || substr(md5(js.j::VARCHAR || ':' ||
+                 dimk.p_partkey::VARCHAR), 1, 15))::BIGINT % {bits}) AS pos
+      FROM dimk CROSS JOIN js),
+    bm AS (
+      SELECT pos // {_BLOOM_WORD} AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT))
+               AS bits
+      FROM pos GROUP BY 1),
+    probe AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem),
+    pj AS (
+      SELECT p.*, js.j,
+             (('0x' || substr(md5(js.j::VARCHAR || ':' ||
+                p.l_partkey::VARCHAR), 1, 15))::BIGINT % {bits}) AS pos
+      FROM probe p CROSS JOIN js),
+    hit AS (
+      SELECT pj.l_orderkey, pj.l_linenumber, pj.l_partkey, pj.price_c,
+             CASE WHEN (bm.bits & (CAST(1 AS BIGINT)
+                        << CAST(pj.pos % {_BLOOM_WORD} AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS ok
+      FROM pj LEFT JOIN bm ON bm.bucket = pj.pos // {_BLOOM_WORD}),
+    passed AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, MIN(price_c) AS price_c
+      FROM hit GROUP BY 1, 2, 3 HAVING SUM(ok) = {BLOOM_K})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN d.p_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_match,
+           CAST(SUM(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN d.p_partkey IS NOT NULL THEN passed.price_c
+                         ELSE 0 END) AS BIGINT) AS revenue_c
+    FROM passed LEFT JOIN dimk d ON d.p_partkey = passed.l_partkey
+    """
+
+
+@query("q_bloom_prune_join", _bloom_oracle_sql(), extra=True)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_prune_semi_join(spark, sf_dir)

@@ -264,6 +264,14 @@ def main() -> int:
         "bfs stays JVM-side, no cartesian",
         "Python" not in pbfs and "CartesianProduct" not in pbfs,
     )
+    pbloom = plan_of(R.QUERIES["q_bloom_prune_join"](spark, sf_dir))
+    check(
+        "bloom probe filters map-only, verify join broadcasts",
+        "BroadcastHashJoin" in pbloom
+        and "SortMergeJoin" not in pbloom
+        and "Python" not in pbloom
+        and "CartesianProduct" not in pbloom,
+    )
     for name in ("sketch_cms_heavy_hitters", "sketch_hll_distinct"):
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(
