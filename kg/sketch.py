@@ -261,3 +261,125 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_empty",
         "true_distinct",
     )
+
+
+# ------------------------------------------- histogram quantiles
+
+HIST_BINS = 64
+# quantiles as exact integer fractions (numerator, denominator) so
+# every rank computation stays in int64; labels are the display form
+HIST_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+                  ("p90", 9, 10), ("p99", 99, 100))
+
+
+def _hist_oracle_sql() -> str:
+    q_vals = ", ".join(
+        f"('{lab}', {qn}, {qd})" for lab, qn, qd in HIST_QUANTILES
+    )
+    return f"""
+    WITH v AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem),
+    mm AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v),
+    binned AS (
+      SELECT ((v.x - mm.lo) * {HIST_BINS}) // (mm.hi - mm.lo + 1) AS bin
+      FROM v, mm),
+    hist AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+      FROM hist),
+    qs(q_label, qn, qd) AS (VALUES {q_vals}),
+    ranks AS (
+      SELECT q_label, (mm.n * qn + qd - 1) // qd AS r,
+             mm.lo AS lo, mm.hi AS hi
+      FROM qs, mm),
+    hit AS (
+      SELECT r.q_label, r.r, r.lo, r.hi,
+             MIN(c.bin) AS bin
+      FROM ranks r JOIN cum c ON c.cum >= r.r
+      GROUP BY 1, 2, 3, 4),
+    pick AS (
+      SELECT h.q_label, h.r, h.lo, h.hi, h.bin, c.cnt, c.cum_prev
+      FROM hit h JOIN cum c ON c.bin = h.bin)
+    SELECT q_label, CAST(r AS BIGINT) AS rank_r,
+           ROUND(
+             CAST(lo + (bin * (hi - lo + 1)) // {HIST_BINS} AS DOUBLE)
+             + CAST((r - cum_prev) AS DOUBLE) / CAST(cnt AS DOUBLE)
+               * CAST((hi - lo + 1) AS DOUBLE) / {HIST_BINS}.0,
+             4) AS est_c
+    FROM pick
+    """
+
+
+@query("sketch_histogram_quantiles", _hist_oracle_sql(), extra=True)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed equi-width histogram — the
+    approx-percentile pattern with an exactly checkable construction
+    (Spark's own approx_percentile is a black-box KLL/GK sketch):
+    one pass bins every value into HIST_BINS integer cells (map-side
+    combine, bin-sized shuffle), a bin-sized cumulative window finds
+    each target rank's bin, and the estimate interpolates linearly
+    inside it. Bin index, ranks (ceil(n*q) as (n*qn + qd - 1) DIV
+    qd), and cumulative counts are all exact int64; the only float
+    arithmetic is the final interpolation, rounded to 4 places with
+    an identical association order in both engines. Contrast with
+    q_table_profile's exact percentiles, which cost a full sort —
+    this is what you run at 100 TB instead."""
+    v = T(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x")
+    )
+    mm = v.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = v.join(F.broadcast(mm)).select(
+        F.floor(
+            (F.col("x") - F.col("lo")) * HIST_BINS
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame(
+        list(HIST_QUANTILES), "q_label string, qn long, qd long"
+    )
+    ranks = qs.join(F.broadcast(mm)).select(
+        "q_label",
+        F.floor((F.col("n") * F.col("qn") + F.col("qd") - 1) / F.col("qd"))
+        .cast("long").alias("r"),
+        "lo", "hi",
+    )
+    hit = (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q_label", "r", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    pick = hit.join(F.broadcast(cum), "bin")
+    width = (F.col("hi") - F.col("lo") + 1).cast("double") / float(HIST_BINS)
+    edge = (
+        F.col("lo")
+        + F.floor(F.col("bin") * (F.col("hi") - F.col("lo") + 1) / HIST_BINS)
+        .cast("long")
+    ).cast("double")
+    return pick.select(
+        "q_label",
+        F.col("r").cast("long").alias("rank_r"),
+        F.round(
+            edge
+            + (F.col("r") - F.col("cum_prev")).cast("double")
+            / F.col("cnt").cast("double") * width,
+            4,
+        ).alias("est_c"),
+    )

@@ -272,7 +272,11 @@ def main() -> int:
         and "Python" not in pbloom
         and "CartesianProduct" not in pbloom,
     )
-    for name in ("sketch_cms_heavy_hitters", "sketch_hll_distinct"):
+    for name in (
+        "sketch_cms_heavy_hitters",
+        "sketch_hll_distinct",
+        "sketch_histogram_quantiles",
+    ):
         p = plan_of(R.QUERIES[name](spark, sf_dir))
         check(
             f"{name} stays JVM-side, no cartesian",

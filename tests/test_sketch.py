@@ -41,3 +41,31 @@ def test_hll_estimate_within_error_bound(spark):
     assert true > 2.5 * 256, "fixture bigram vocab below the raw regime"
     assert est > 0
     assert abs(est - true) / true < 0.26, (est, true)
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """Each interpolated estimate must land within one bin width of
+    the TRUE rank-r order statistic (the histogram's worst-case
+    error bound), and ranks must be the exact ceil(n*q) integers."""
+    import math
+
+    from kg.sketch import HIST_BINS, sketch_histogram_quantiles
+
+    rows = {
+        r["q_label"]: (r["rank_r"], r["est_c"])
+        for r in sketch_histogram_quantiles(spark, SF).collect()
+    }
+    vals = sorted(
+        r["x"]
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .selectExpr("CAST(ROUND(l_extendedprice * 100) AS LONG) AS x")
+        .collect()
+    )
+    n, lo, hi = len(vals), vals[0], vals[-1]
+    width = (hi - lo + 1) / HIST_BINS
+    for lab, qn, qd in (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+                        ("p90", 9, 10), ("p99", 99, 100)):
+        r, est = rows[lab]
+        assert r == math.ceil(n * qn / qd)
+        true = vals[r - 1]
+        assert abs(est - true) <= width, (lab, est, true, width)
