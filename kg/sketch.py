@@ -33,25 +33,32 @@ CMS_WIDTH = 256
 CMS_PROBES = ("join", "hash", "scan", "zzz-unseen")
 
 
-def _cms_cells(toks: DataFrame) -> DataFrame:
-    """(j, bucket) -> count over every token occurrence: each of the
-    DEPTH rows hashes the token with a distinct salt prefix. The
-    explode multiplies the stream by DEPTH before the partial
-    aggregate, but the post-combine exchange is DEPTH*WIDTH cells."""
-    rows = F.array(
+def _cms_positions(col):
+    """The DEPTH salted (j, bucket) hash positions of one value — the
+    ONE expression shared by sketch build and probe (the estimator's
+    one-sidedness and oracle exactness both require the two sides to
+    hash identically)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
                 F.pmod(
-                    _neutral_hash64(F.concat(F.lit(f"{j}:"), F.col("tok"))),
+                    _neutral_hash64(F.concat(F.lit(f"{j}:"), col)),
                     F.lit(CMS_WIDTH),
                 ).alias("bucket"),
             )
             for j in range(CMS_DEPTH)
         ]
     )
+
+
+def _cms_cells(toks: DataFrame) -> DataFrame:
+    """(j, bucket) -> count over every token occurrence: each of the
+    DEPTH rows hashes the token with a distinct salt prefix. The
+    explode multiplies the stream by DEPTH before the partial
+    aggregate, but the post-combine exchange is DEPTH*WIDTH cells."""
     return (
-        toks.select(F.explode(rows).alias("r"))
+        toks.select(F.explode(_cms_positions(F.col("tok"))).alias("r"))
         .select("r.j", "r.bucket")
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -114,23 +121,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cms_cells(toks)
     probe_df = spark.createDataFrame([(p,) for p in CMS_PROBES], "token string")
     pb = probe_df.select(
-        "token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.pmod(
-                            _neutral_hash64(
-                                F.concat(F.lit(f"{j}:"), F.col("token"))
-                            ),
-                            F.lit(CMS_WIDTH),
-                        ).alias("bucket"),
-                    )
-                    for j in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("r"),
+        "token", F.explode(_cms_positions(F.col("token"))).alias("r")
     ).select("token", "r.j", "r.bucket")
     est = (
         pb.join(F.broadcast(cells), ["j", "bucket"], "left")
@@ -337,11 +328,12 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"), F.max("x").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+    # exact integer division throughout (Spark's `div`, the twin of
+    # DuckDB's `//`) — floor(double-divide) agrees only while double
+    # rounding error stays below the quotient's distance to an
+    # integer, a silent oracle break at large-magnitude spans
     binned = v.join(F.broadcast(mm)).select(
-        F.floor(
-            (F.col("x") - F.col("lo")) * HIST_BINS
-            / (F.col("hi") - F.col("lo") + 1)
-        ).cast("long").alias("bin")
+        F.expr(f"(x - lo) * {HIST_BINS} div (hi - lo + 1)").alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
@@ -357,8 +349,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = qs.join(F.broadcast(mm)).select(
         "q_label",
-        F.floor((F.col("n") * F.col("qn") + F.col("qd") - 1) / F.col("qd"))
-        .cast("long").alias("r"),
+        F.expr("(n * qn + qd - 1) div qd").alias("r"),
         "lo", "hi",
     )
     hit = (
@@ -370,8 +361,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("hi") - F.col("lo") + 1).cast("double") / float(HIST_BINS)
     edge = (
         F.col("lo")
-        + F.floor(F.col("bin") * (F.col("hi") - F.col("lo") + 1) / HIST_BINS)
-        .cast("long")
+        + F.expr(f"bin * (hi - lo + 1) div {HIST_BINS}")
     ).cast("double")
     return pick.select(
         "q_label",

@@ -449,23 +449,29 @@ def events_timeordered_stream(
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import Window
 
+        # cache before the per-slice loop: each write filters the same
+        # DataFrame, and without the barrier every slice re-runs the
+        # global-sort ntile window over the full table
         sliced = ev.withColumn(
             "_slice",
             F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
-        )
-        for i in range(1, n_files + 1):
-            tmp = _scratch(f"src_torder_tmp{i}_")
-            (
-                sliced.filter(F.col("_slice") == i)
-                .drop("_slice")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            dst = os.path.join(d, f"{i:02d}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        ).cache()
+        try:
+            for i in range(1, n_files + 1):
+                tmp = _scratch(f"src_torder_tmp{i}_")
+                (
+                    sliced.filter(F.col("_slice") == i)
+                    .drop("_slice")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                part = glob.glob(f"{tmp}/part-*.parquet")[0]
+                dst = os.path.join(d, f"{i:02d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        finally:
+            sliced.unpersist()
         _TIME_SRC_DIRS[key] = d
     return (
         spark.readStream.schema(EVENTS_SCHEMA)

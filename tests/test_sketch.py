@@ -1,15 +1,4 @@
-import pyspark.sql.functions as F
-import pytest
-
 SF = "/root/testdata/sf0.001"
-
-
-@pytest.fixture(scope="module")
-def spark():
-    from kg.session import build_session
-
-    s = build_session(master="local[4]", shuffle_partitions=8)
-    yield s
 
 
 def test_cms_one_sided_and_absent_probe(spark):
