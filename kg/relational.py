@@ -2084,3 +2084,86 @@ def _bloom_oracle_sql(bits: int = BLOOM_BITS) -> str:
 @query("q_bloom_prune_join", _bloom_oracle_sql(), extra=True)
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune_semi_join(spark, sf_dir)
+
+
+# =====================================================================
+# time-based RANGE window frame + SCD-2 validity intervals
+# =====================================================================
+
+
+@query(
+    "q_window_range_frame",
+    """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_c_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    extra=True,  # local-only: time-based RANGE frame surface
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour moving aggregate per user — a RANGE window
+    frame over EVENT TIME, not row offsets (every other window query
+    here uses ROWS frames; the two differ whenever inter-event gaps
+    are irregular, which real event streams always are). Spark takes
+    the frame in the orderBy column's units, so ts casts to epoch
+    seconds (NTZ -> timestamp -> long; the container session tz is
+    UTC, so the reinterpretation is the identity) and the frame is
+    [-3600, 0]; RANGE frames include ALL
+    ties of the current orderBy value on both engines, which is what
+    keeps same-timestamp events consistent cross-engine. One
+    user-keyed shuffle; each partition sorts locally — the standard
+    time-series rollup shape at any scale."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents("value")).over(w).alias("sum_c_1h"),
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    """
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(
+             lead(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id),
+             '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c
+    FROM events
+    """,
+    extra=True,  # local-only: SCD-2 interval derivation surface
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from a change stream: each
+    (user, event_type) version is valid from its own timestamp until
+    the next version's (lead over the key, 'current' for the open
+    row) — the warehouse pattern that turns an append-only change log
+    into an as-of-queryable dimension (q_upsert_latest is the SCD-1
+    keep-last half of the same problem). The orderBy includes
+    event_id because ties on (key, ts) exist in the fixture and an
+    underspecified lead order is engine-dependent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        cents("value").alias("value_c"),
+    )
