@@ -16,3 +16,30 @@ def test_bloom_prune_false_positive_accounting(spark):
     assert full["n_true_match"] == small["n_true_match"] == 608
     assert full["n_false_pos"] == 0
     assert full["revenue_c"] == small["revenue_c"]
+
+
+def test_range_frame_is_time_based_not_row_based(spark):
+    """The trailing-1h RANGE frame must actually exclude same-user
+    events older than an hour (n_1h < the running row count for some
+    event) while still including in-window neighbors (n_1h > 1 for
+    some event) — i.e. the frame is event-time-bounded, not an
+    unbounded-preceding ROWS frame in disguise."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kg.relational import q_window_range_frame
+
+    got = {
+        r["event_id"]: r["n_1h"]
+        for r in q_window_range_frame(spark, "/root/testdata/sf0.001").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.row_number().over(w).alias("rn"))
+        .collect()
+    )
+    rn = {r["event_id"]: r["rn"] for r in rows}
+    assert any(got[e] < rn[e] for e in got), "frame never excluded old events"
+    assert any(got[e] > 1 for e in got), "frame never included a neighbor"
+    assert all(got[e] <= rn[e] for e in got)
