@@ -2167,3 +2167,47 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         cents("value").alias("value_c"),
     )
+
+
+# =====================================================================
+# two-phase salted aggregation (skew-safe groupBy)
+# =====================================================================
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "q_skew_salted_agg",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY user_id
+    """,
+    extra=True,  # local-only: skew-salted aggregation surface
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the skew-safe groupBy: phase 1
+    aggregates on (key, salt) so a hot key's rows spread over
+    SALT_BUCKETS reducers instead of melting one; phase 2 merges the
+    per-salt partials on the key alone, shuffling at most
+    SALT_BUCKETS rows per key. The salt is xxhash64 of the row id
+    (deterministic, uniform) and cancels out of the result — which is
+    why the oracle is the PLAIN GROUP BY: salting is a physical
+    rewrite with no logical trace, and the exact match proves it.
+    This is the query-shaped twin of the pipeline's X1
+    salt_repartition (kg/pipeline.py), driver-visible; count and
+    cents-sum both re-merge losslessly (sum-of-sums, sum-of-counts).
+    AQE's skewedJoin/skewedPartition handling covers the JOIN case at
+    runtime; a skewed AGGREGATION still needs this manual rewrite."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("value_c"),
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).alias("_salt"),
+    )
+    partial = ev.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value_c").alias("pv")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.sum("pv").alias("value_c")
+    )
