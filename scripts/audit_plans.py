@@ -264,6 +264,12 @@ def main() -> int:
         "bfs stays JVM-side, no cartesian",
         "Python" not in pbfs and "CartesianProduct" not in pbfs,
     )
+    psalt = plan_of(R.QUERIES["q_skew_salted_agg"](spark, sf_dir))
+    check(
+        "salted agg keeps both grouping phases (salt then key)",
+        "_salt" in psalt and psalt.count("HashAggregate") >= 4
+        and "Python" not in psalt,
+    )
     pbloom = plan_of(R.QUERIES["q_bloom_prune_join"](spark, sf_dir))
     check(
         "bloom probe filters map-only, verify join broadcasts",
