@@ -697,11 +697,28 @@ def bpe_merges(
     (see BPE_BARRIER_EVERY) so per-round recompute and plan depth stay
     O(1) at large n_merges. ``round_times`` (diagnostic) collects
     per-round wall seconds when a list is passed."""
+    merges, _ = _bpe_train(
+        docs, n_merges, max_word_len, barrier_every, round_times
+    )
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGE_ROUNDS,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+    barrier_every: int = BPE_BARRIER_EVERY,
+    round_times: list | None = None,
+):
+    """Shared BPE training loop: returns (merge list, final merged
+    vocab DataFrame (w, syms, freq)) — bpe_merges emits the former,
+    bpe_encode_vocab the latter."""
     import time as _time
 
     from kg.io import materialize_barrier
 
-    spark = docs.sparkSession
     vocab = materialize_barrier(
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
@@ -709,6 +726,7 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "w",
             # (?!^) splits between chars but also matches at end-of-
             # string, leaving a trailing "" element — filter it
             F.filter(
@@ -750,8 +768,27 @@ def bpe_merges(
             vocab = materialize_barrier(vocab, "bpe_vocab_r_")
         if round_times is not None:
             round_times.append(_time.monotonic() - _t0)
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    return merges, vocab
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGE_ROUNDS,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """APPLY the trained BPE tokenizer: the per-word encode table
+    (word, n_tokens, freq) after the full merge sequence — the other
+    half of vocab_bpe_merges, which trains the merges but never
+    tokenizes anything with them. This word-level table is exactly
+    what a fast tokenizer precomputes (word -> segmentation cache);
+    corpus token totals are then one dictionary-sized join away.
+    Same scale shape as training: one corpus pass builds the vocab,
+    every merge application is dictionary-sized."""
+    _, vocab = _bpe_train(docs, n_merges, max_word_len)
+    return vocab.select(
+        "w",
+        F.size("syms").cast("long").alias("n_tokens"),
+        "freq",
     )
 
 
@@ -814,9 +851,33 @@ def _bpe_merges_oracle_sql(
     return ",\n    ".join(parts) + f"\n    {union}"
 
 
+def _bpe_encode_oracle_sql(
+    n_merges: int = BPE_MERGE_ROUNDS, max_word_len: int = BPE_MAX_WORD_LEN
+) -> str:
+    """Encode-table twin of _bpe_merges_oracle_sql: identical CTE
+    unroll (w0 groups by sp, which is bijective with the word — the
+    spaced form concatenates back losslessly), final select reads the
+    FULLY-MERGED vocab w{n_merges} instead of the merge rows."""
+    body = _bpe_merges_oracle_sql(n_merges, max_word_len)
+    # same WITH-block, different final SELECT: drop the UNION tail
+    # (everything after the last CTE's closing paren)
+    cte_block = body[: body.rindex(")") + 1]
+    return f"""{cte_block}
+    SELECT replace(trim(sp), ' ', '') AS w,
+           CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_tokens,
+           freq
+    FROM w{n_merges}
+    """
+
+
 @query("vocab_bpe_merges", _bpe_merges_oracle_sql(), extra=True)
 def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(T(spark, sf_dir, "documents"))
+
+
+@query("vocab_bpe_encode", _bpe_encode_oracle_sql(), extra=True)
+def q_vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_vocab(T(spark, sf_dir, "documents"))
 
 
 @query(

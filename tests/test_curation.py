@@ -442,3 +442,45 @@ def test_mix_domains_respects_explicit_weights(spark):
     # src1 binds (higher weight on equal counts): kept fully; src2
     # keeps about half
     assert n1 >= n2 > 0
+
+
+def test_bpe_encode_vocab_matches_python_apply(spark):
+    """The encode table must equal independently applying the learned
+    merges (greedy-left, in rank order) to every vocab word — the
+    'aaaa' overlap case must count 2 tokens after the 'aa' merge, not
+    3, and every count must sit in [1, len(word)]."""
+    from kg.curation import bpe_encode_vocab
+
+    rows = [
+        (1, "banana bandana aaaa", "en", "s", 0),
+        (2, "banana banana low lower lowest", "en", "s", 0),
+        (3, "aaaa abab low low", "en", "s", 0),
+    ]
+    words = {}
+    for _, text, *_ in rows:
+        for w in text.split():
+            if w.isalpha() and w.islower() and 2 <= len(w) <= 20:
+                words[w] = words.get(w, 0) + 1
+    merges = [(x, y) for _, x, y, _ in _py_bpe_reference(words, 5)]
+
+    def encode(word):
+        syms = list(word)
+        for x, y in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {
+        r["w"]: (r["n_tokens"], r["freq"])
+        for r in bpe_encode_vocab(_docs(spark, rows), n_merges=5).collect()
+    }
+    assert got == {w: (encode(w), f) for w, f in words.items()}
+    assert all(1 <= n <= len(w) for w, (n, _) in got.items())
+    assert got["aaaa"][0] == 2  # two 'aa' tokens, not three
