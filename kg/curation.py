@@ -1137,3 +1137,52 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("corpus_mix_domains", _mix_domains_oracle_sql(), extra=True)
 def q_corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_domains(T(spark, sf_dir, "documents"))
+
+
+def _bpe_tokencount_oracle_sql(
+    n_merges: int = BPE_MERGE_ROUNDS, max_word_len: int = BPE_MAX_WORD_LEN
+) -> str:
+    """Per-document twin of _bpe_encode_oracle_sql: the same CTE
+    unroll, then every document's eligible words join the encode
+    table and sum."""
+    body = _bpe_merges_oracle_sql(n_merges, max_word_len)
+    cte_block = body[: body.rindex(")") + 1]
+    return f"""{cte_block},
+    enc AS (
+      SELECT replace(trim(sp), ' ', '') AS w,
+             CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_tokens
+      FROM w{n_merges}),
+    dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens
+    FROM dw JOIN enc ON enc.w = dw.w
+    GROUP BY dw.doc_id
+    """
+
+
+@query("text_bpe_tokencount", _bpe_tokencount_oracle_sql(), extra=True)
+def q_text_bpe_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED tokenizer: per-document
+    token counts under the learned BPE merges — the number every
+    training-data pipeline needs per document (sequence packing,
+    billing, curriculum). One corpus pass explodes words; the encode
+    table is dictionary-sized and broadcasts into the join, so the
+    only corpus-sized shuffle is the final doc-keyed sum (and words
+    outside the trainer's charset/length filter are excluded on both
+    sides by the inner join). The whole merge derivation rides in the
+    oracle's CTE unroll, so the counts are exact end-to-end."""
+    docs = T(spark, sf_dir, "documents")
+    enc = bpe_encode_vocab(docs).select("w", "n_tokens")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
