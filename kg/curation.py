@@ -1186,3 +1186,57 @@ def q_text_bpe_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------------- fixed-N per-group sample
+
+SAMPLE_N_PER_LANG = 40
+_SAMPLE_SALTS = 8
+
+
+@query(
+    "corpus_sample_fixed_n",
+    f"""
+    SELECT lang, rank, doc_id FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rank
+      FROM documents)
+    WHERE rank <= {SAMPLE_N_PER_LANG}
+    """,
+    extra=True,  # local-only: salted per-group top-k surface
+)
+def q_corpus_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-language deterministic sample — bottom-k by md5
+    order (the KMV idea: the k smallest hashes are a uniform sample),
+    computed as a TWO-PHASE salted per-group top-k. A naive
+    per-stratum window puts each language on ONE reducer (a 20 TB
+    language = one task); phase 1 takes the per-(lang, salt) bottom-N
+    across SALTS buckets in parallel, phase 2 re-ranks only the
+    SALTS*N survivors per language — correct because any global
+    bottom-N element is necessarily in its salt bucket's bottom-N
+    (bottom-k is mergeable). The oracle is the single-window form:
+    the salted rewrite must be logically invisible, like
+    q_skew_salted_agg. Complements stratified_sample (rate-based)
+    with the exact-count contract a train/eval split needs."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
+    survivors = docs.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= SAMPLE_N_PER_LANG
+    )
+    w2 = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank") <= SAMPLE_N_PER_LANG)
+        .select("lang", "rank", "doc_id")
+    )
