@@ -2211,3 +2211,46 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("user_id").agg(
         F.sum("pn").alias("n"), F.sum("pv").alias("value_c")
     )
+
+
+# =====================================================================
+# fuzzy match by edit distance (map-only top-k)
+# =====================================================================
+
+FUZZY_PROBE = "smal gizmmo"  # misspelled "small gizmo"
+FUZZY_K = 10
+
+
+@query(
+    "q_fuzzy_match_topk",
+    f"""
+    SELECT p_name,
+           CAST(levenshtein(p_name, '{FUZZY_PROBE}') AS BIGINT) AS dist
+    FROM part
+    ORDER BY dist, p_name LIMIT {FUZZY_K}
+    """,
+    extra=True,  # local-only: edit-distance fuzzy-match surface
+)
+def q_fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest part names to a misspelled probe by Levenshtein
+    distance — the fuzzy-lookup shape (catalog search, entity-alias
+    fallback when the exact gazetteer misses). Edit distance is a
+    well-defined integer, so Spark's and DuckDB's implementations
+    agree cell-for-cell and the query is exactly checkable; ties
+    break on the name. Map-only over the dimension + global
+    TakeOrderedAndProject: no join, no shuffle beyond the k-row
+    gather — at any catalog size the cost is one scan. (Corpus-scale
+    fuzzy DEDUP stays with the blocked MinHash/SimHash families —
+    pairwise levenshtein does not scale; this is the point-lookup
+    complement.)"""
+    return (
+        T(spark, sf_dir, "part")
+        .select(
+            "p_name",
+            F.levenshtein(F.col("p_name"), F.lit(FUZZY_PROBE))
+            .cast("long")
+            .alias("dist"),
+        )
+        .orderBy("dist", "p_name")
+        .limit(FUZZY_K)
+    )
