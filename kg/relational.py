@@ -2098,9 +2098,9 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
              AS sum_c_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     extra=True,  # local-only: time-based RANGE frame surface
 )
@@ -2112,9 +2112,15 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame in the orderBy column's units, so ts casts to epoch
     seconds (NTZ -> timestamp -> long; the container session tz is
     UTC, so the reinterpretation is the identity) and the frame is
-    [-3600, 0]; RANGE frames include ALL
-    ties of the current orderBy value on both engines, which is what
-    keeps same-timestamp events consistent cross-engine. One
+    [-3600, 0]. The ORACLE orders by the SAME truncated-seconds key
+    (floor(epoch(ts)), numeric RANGE 3600) rather than the
+    full-precision INTERVAL form: Spark's long cast floors
+    sub-second timestamps, so an interval-precision oracle diverges
+    whenever a same-user pair straddles the hour boundary by under a
+    second — measured at sf0.1 (event 45055: n_1h 1 vs 2); defining
+    both sides on the truncated key makes the frames equal by
+    construction at every scale, and RANGE frames include ALL ties
+    of the order key on both engines. One
     user-keyed shuffle; each partition sorts locally — the standard
     time-series rollup shape at any scale."""
     from pyspark.sql import Window
@@ -2152,8 +2158,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) — the warehouse pattern that turns an append-only change log
     into an as-of-queryable dimension (q_upsert_latest is the SCD-1
     keep-last half of the same problem). The orderBy includes
-    event_id because ties on (key, ts) exist in the fixture and an
-    underspecified lead order is engine-dependent."""
+    event_id as defensive determinism: the fixture happens to have
+    no (key, ts) ties today, but an underspecified lead order is
+    engine-dependent the day one appears."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")

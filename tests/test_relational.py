@@ -33,13 +33,20 @@ def test_range_frame_is_time_based_not_row_based(spark):
         r["event_id"]: r["n_1h"]
         for r in q_window_range_frame(spark, "/root/testdata/sf0.001").collect()
     }
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the upper bound must count RANGE peers at the query's own
+    # truncated-second granularity: two events flooring to the same
+    # epoch second are frame peers of each other, so a row-number
+    # over full-precision ts would undercount the legal maximum
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(es).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
     rows = (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select("event_id", F.row_number().over(w).alias("rn"))
+        .select("event_id", F.count(F.lit(1)).over(w).alias("n_upto"))
         .collect()
     )
-    rn = {r["event_id"]: r["rn"] for r in rows}
-    assert any(got[e] < rn[e] for e in got), "frame never excluded old events"
+    upto = {r["event_id"]: r["n_upto"] for r in rows}
+    assert any(got[e] < upto[e] for e in got), "frame never excluded old events"
     assert any(got[e] > 1 for e in got), "frame never included a neighbor"
-    assert all(got[e] <= rn[e] for e in got)
+    assert all(got[e] <= upto[e] for e in got)
