@@ -154,7 +154,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flags AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                       >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id,
@@ -166,7 +167,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_window gap semantics: an event exactly `gap` after the
     # previous one starts a NEW session (windows are half-open), hence
-    # the oracle's >= 1800
+    # the oracle's >=; the gap compares in integer MICROSECONDS —
+    # date_diff('second') truncates, so a sub-second-past-the-boundary
+    # gap (first appears at sf0.1) splits in the engine but not a
+    # second-granularity oracle
     return session_counts(spark, sf_dir)
 
 
