@@ -41,7 +41,7 @@ def chunk_documents(
     Emits (doc_id, chunk_id, start_tok, n_tokens, chunk_text); the
     last chunk may be short. Pure per-row explode: no shuffle at any
     corpus size."""
-    tokens = F.split(F.col("text"), " ")
+    tokens = ws_tokens(F.col("text"))
     starts = F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride))
     return (
         docs.select("doc_id", tokens.alias("t"), F.explode(starts).alias("start_tok"))
@@ -84,8 +84,7 @@ def token_vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     shuffle at distinct-token size, not corpus-token size) ->
     TakeOrderedAndProject for the global top-k (no full sort)."""
     freq = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .filter(F.col("token") != "")
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -163,8 +162,7 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     histogram then per-doc max — the shuffle keys on (doc_id, token),
     never a cross product."""
     hist = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .filter(F.col("token") != "")
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -439,7 +437,7 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunking",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, {sql_ws_tokens("text")} AS t FROM documents),
     starts AS (
       SELECT doc_id, t,
              unnest(generate_series(1, GREATEST(len(t), 1), {CHUNK_STRIDE}))
@@ -463,11 +461,11 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_topk",
-    """
+    f"""
     WITH freq AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-      WHERE token != '' GROUP BY token)
+      FROM (SELECT unnest({sql_ws_tokens("text")}) AS token FROM documents)
+      GROUP BY token)
     SELECT token, freq,
            CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
              AS rank
@@ -552,12 +550,12 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition",
-    """
+    f"""
     WITH hist AS (
       SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM (SELECT doc_id, unnest({sql_ws_tokens("text")}) AS token
             FROM documents)
-      WHERE token != '' GROUP BY doc_id, token),
+      GROUP BY doc_id, token),
     sizes AS (
       SELECT doc_id, MAX(cnt) AS top_freq, SUM(cnt) AS n_tokens
       FROM hist GROUP BY doc_id)
@@ -585,7 +583,7 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
     explode(char pairs) -> partial/final hash agg; the shuffle carries
     distinct pairs (alphabet^2-bounded), never corpus positions."""
     words = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("w")
+        F.explode(ws_tokens(F.col("text"))).alias("w")
     ).filter(F.length("w") >= 2)
     # substr with a lambda-bound start needs the SQL expr form
     # (pyspark's F.substring takes plain ints)
@@ -607,7 +605,7 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     DESCENDS to [1, 0] and element_at(t, 0) throws under ANSI mode
     (the DuckDB oracle's generate_series(1, 0) is just empty)."""
     grams = (
-        docs.select(F.split(F.col("text"), " ").alias("t"))
+        docs.select(ws_tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 2)
         .select(
             F.explode(
@@ -720,7 +718,7 @@ def _bpe_train(
     from kg.io import materialize_barrier
 
     vocab = materialize_barrier(
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
         .filter(F.length("w").between(2, max_word_len))
         .groupBy("w")
@@ -812,7 +810,7 @@ def _bpe_oracle_parts(
         f"""WITH w0 AS MATERIALIZED (
       SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sp,
              CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      FROM (SELECT unnest({sql_ws_tokens("text")}) AS w FROM documents)
       WHERE regexp_matches(w, '^[a-z]+$')
         AND length(w) BETWEEN 2 AND {max_word_len}
       GROUP BY 1)"""
@@ -916,9 +914,9 @@ def q_vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_bpe_pairs",
-    """
+    f"""
     WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      SELECT unnest({sql_ws_tokens("text")}) AS w FROM documents),
     pairs AS (
       SELECT substr(w, i, 2) AS pair
       FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
@@ -937,8 +935,8 @@ def q_vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_lm",
-    """
-    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    f"""
+    WITH toks AS (SELECT {sql_ws_tokens("text")} AS t FROM documents),
     grams AS (
       SELECT t[i] AS w1, t[i + 1] AS w2
       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
@@ -987,7 +985,7 @@ def lm_score(docs: DataFrame, min_count: int = LM_MIN_COUNT) -> DataFrame:
     plus one keyed on w1 — shuffles carry corpus bigram occurrences
     by gram key, never any pair space; V is a 1-row broadcast. Docs
     with < 2 tokens have no bigrams and are not emitted."""
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
     grams = (
         toks.filter(F.size("t") >= 2)
         .select(
@@ -1131,7 +1129,7 @@ def _mix_domains_oracle_sql(weights: dict[str, int] | None = None) -> str:
 @query(
     "text_lm_score",
     f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, {sql_ws_tokens("text")} AS t FROM documents),
     grams AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -1186,7 +1184,7 @@ def _bpe_tokencount_oracle_sql(
              CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_tokens
       FROM w{n_merges}),
     dw AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT doc_id, unnest({sql_ws_tokens("text")}) AS w FROM documents)
     SELECT dw.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens
@@ -1210,7 +1208,7 @@ def q_text_bpe_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, vocab = _bpe_train_cached(spark, sf_dir)
     enc = vocab.select("w", F.size("syms").cast("long").alias("n_tokens"))
     dw = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("w")
     )
     return (
         dw.join(F.broadcast(enc), "w")

@@ -47,7 +47,7 @@ HASH_DOMAIN = MERSENNE_P
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id, shingle (distinct word n-grams) — pure Catalyst."""
-    tokens = F.split(F.col("text"), " ")
+    tokens = ws_tokens(F.col("text"))
     sh = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
@@ -158,7 +158,7 @@ def with_shingle_hashes_neutral(
     bit-for-bit — the verifiability path; production pipelines keep
     the xxhash64 default. Short docs (< n tokens) get an empty
     array."""
-    tokens = F.split(F.col(text_col), " ")
+    tokens = ws_tokens(F.col(text_col))
     d = docs.withColumn(
         "_nth",
         F.transform(
@@ -197,7 +197,7 @@ def with_shingle_hashes(
     sf0.1). BOTH minhash formulations build on this one expression, so
     their signatures are bit-identical by construction. Short docs
     (< n tokens) get an empty array."""
-    tokens = F.split(F.col(text_col), " ")
+    tokens = ws_tokens(F.col(text_col))
     d = docs.withColumn("_th", F.transform(tokens, lambda s: F.xxhash64(s)))
     hashes = F.when(
         F.size("_th") >= n,
@@ -270,7 +270,7 @@ def minhash_lsh_pairs(
     # near-dup is defined over docs with >= n tokens; without this
     # filter every short doc shares the [P]*k sentinel signature and
     # they would all pair with NaN jaccard (NaN >= t is true in Spark)
-    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+    docs = docs.filter(F.size(ws_tokens(F.col("text"))) >= n)
     rows_per_band = k // bands
     sigs = minhash_signatures_udf(docs, n, k, seed, neutral=neutral)
 
@@ -590,9 +590,9 @@ def embedding_near_dup(
 
 @query(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, source, {sql_ws_tokens("text")} AS t FROM documents),
     idx AS (
       SELECT doc_id, source, t,
              unnest(generate_series(1, len(t) - 2)) AS i
@@ -649,7 +649,7 @@ def _minhash_pair_ctes(
     ),
     toks AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '),
+             list_transform({sql_ws_tokens("text")},
                x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {P}) AS th
       FROM documents),
     sh AS (
@@ -934,7 +934,7 @@ def substring_dup_stats(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     to the duplicated-gram set keyed on the hash, one agg keyed on
     doc_id — the pair space is never materialized, unlike
     suffix-array construction."""
-    tokens = F.split(F.col("text"), " ")
+    tokens = ws_tokens(F.col("text"))
     d = docs.select("doc_id", tokens.alias("t")).filter(F.size("t") >= n)
     grams = d.select(
         "doc_id",
@@ -979,7 +979,7 @@ def substring_dup_stats(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
                   THEN text || ' {SUBSTR_BOILER}'
                   ELSE text END AS text
       FROM documents),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+    toks AS (SELECT doc_id, {sql_ws_tokens("text")} AS t FROM d),
     grams AS (
       SELECT doc_id,
              ('0x' || substr(md5(array_to_string(t[i:i+{SUBSTR_N - 1}], ' ')),

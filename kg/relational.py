@@ -813,14 +813,14 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_doc_stats",
-    """
+    f"""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(len({sql_ws_tokens("text")}) AS BIGINT)) AS BIGINT)
              AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(n_chars) AS DOUBLE)
-                 / SUM(CAST(len(string_split(text, ' ')) AS BIGINT)), 4)
+                 / SUM(CAST(len({sql_ws_tokens("text")}) AS BIGINT)), 4)
              AS chars_per_token
     FROM documents GROUP BY lang
     """,
@@ -829,7 +829,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality-stat shape over the documents table."""
     d = T(spark, sf_dir, "documents")
-    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    ntok = F.size(ws_tokens(F.col("text"))).cast("long")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),
@@ -1245,9 +1245,9 @@ def q_anti_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_curation",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, lang, text, {sql_ws_tokens("text")} AS t FROM documents),
     quality AS (
       SELECT doc_id, lang, t,
              len(t) AS n_tokens,

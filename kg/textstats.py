@@ -71,7 +71,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features, all Catalyst: token count, mean token
     length, digit/punct ratios, and a composite keep-score."""
-    tokens = F.split(F.col(text_col), " ")
+    tokens = ws_tokens(F.col(text_col))
     n_tok = F.size(tokens).cast("long")
     n_char = F.length(text_col).cast("long")
     n_digit = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0)).cast("long")
@@ -98,7 +98,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def min_fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over word
     n-gram shingles (md5 exists in both engines -> SQL oracle)."""
-    tokens = F.split(F.col("text"), " ")
+    tokens = ws_tokens(F.col("text"))
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(tokens, i, n))),
@@ -113,17 +113,17 @@ def min_fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
 
 @query(
     "text_quality",
-    """
+    f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len({sql_ws_tokens("text")}) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_m,
            ROUND(CAST(length(text) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4) AS mean_tok_len,
+                 / len({sql_ws_tokens("text")}), 4) AS mean_tok_len,
            ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                  / length(text), 4) AS digit_ratio,
            ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
                  / length(text), 4) AS punct_ratio,
-           CAST(CASE WHEN len(string_split(text, ' ')) >= 5
+           CAST(CASE WHEN len({sql_ws_tokens("text")}) >= 5
                       AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                           / length(text) < 0.3
                      THEN 1 ELSE 0 END AS INT) AS keep
@@ -136,8 +136,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    f"""
+    WITH toks AS (SELECT doc_id, {sql_ws_tokens("text")} AS t FROM documents),
     idx AS (
       SELECT doc_id, t,
              unnest(generate_series(1, GREATEST(len(t) - 4, 1))) AS i
@@ -201,9 +201,9 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 @query(
     "text_token_counts",
-    """
+    f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len({sql_ws_tokens("text")}) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                 AS BIGINT) AS bpe_ish_tokens
     FROM documents
@@ -216,7 +216,7 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
         ).cast("long").alias("bpe_ish_tokens"),

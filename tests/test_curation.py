@@ -484,3 +484,53 @@ def test_bpe_encode_vocab_matches_python_apply(spark):
     assert got == {w: (encode(w), f) for w, f in words.items()}
     assert all(1 <= n <= len(w) for w, (n, _) in got.items())
     assert got["aaaa"][0] == 2  # two 'aa' tokens, not three
+
+
+def test_exotic_whitespace_one_token_stream_everywhere(spark):
+    """r5 verdict gate: every corpus-text tokenizer shares ws_tokens'
+    explicit whitespace class. A document whose words are separated by
+    tabs, newlines, CR, form-feed, vertical tab, and multi-space runs
+    must produce the SAME token stream in vocab building, quality
+    stats, chunking, span-dup profiling, shingling, and
+    decontamination — before r6 these 29 sites split on a single
+    literal space and would each see a different stream."""
+    import re
+
+    from kg.dedup import shingles_df, substring_dup_stats
+    from kg.relational import WS_REGEX
+    from kg.curation import decontaminate
+    from kg.textstats import quality_features
+
+    text = "alpha\tbeta\n\ngamma \x0b delta\r\nepsilon  zeta\fbeta gamma"
+    expected = [t for t in re.split("[ \t\n\x0b\f\r]+", text) if t]
+    assert expected == [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "beta", "gamma"
+    ]
+    # the test is only meaningful if the regex classes agree
+    assert re.sub(r"\\+", "\\\\", WS_REGEX) in ("[ \\t\\n\\x0B\\f\\r]+",)
+    docs = _docs(spark, [(1, text, "en", "s", len(text))])
+
+    vocab = {r["token"]: r["freq"] for r in token_vocab_topk(docs).collect()}
+    from collections import Counter
+
+    assert vocab == dict(Counter(expected))
+
+    q = quality_features(docs).collect()[0]
+    assert q["n_tokens"] == len(expected)
+
+    chunks = chunk_documents(docs, chunk_tokens=5, stride=5).collect()
+    rebuilt = " ".join(c["chunk_text"] for c in sorted(chunks, key=lambda c: c["chunk_id"]))
+    assert rebuilt == " ".join(expected)
+
+    # bigram shingles cross every whitespace flavor
+    sh = {r["shingle"] for r in shingles_df(docs, n=2).collect()}
+    assert sh == {f"{a} {b}" for a, b in zip(expected, expected[1:])}
+
+    # span-dup profile counts token bigrams, not space-delimited blobs
+    stats = substring_dup_stats(docs, n=2).collect()[0]
+    assert stats["n_grams"] == len(expected) - 1
+
+    # an eval phrase straddling a newline still flags
+    flagged = decontaminate(docs, ["beta gamma"], n=2).collect()[0]
+    assert flagged["contaminated"] == 1
+    assert flagged["n_banned_hits"] == 1
