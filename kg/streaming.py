@@ -442,7 +442,12 @@ def events_timeordered_stream(
     range, so a 1-hour watermark after batch 1 classifies most of
     batch 2 as late and drops join state), which is correct watermark
     behavior but wrong as a replay harness. A live, approximately
-    ordered stream is what this source simulates."""
+    ordered stream is what this source simulates.
+
+    The global-sort ntile below is REPLAY PREP, not a measured query:
+    it runs once per (sf_dir, n_files) to slice the fixture into
+    time-contiguous files and is cached/memoized — a production
+    ingest directory is already time-ordered and never runs it."""
     key = f"{sf_dir}:{n_files}"
     d = _TIME_SRC_DIRS.get(key)
     if d is None:
@@ -584,3 +589,128 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_segment_counts(spark, sf_dir)
+
+
+# ----------------------------------------- foreachBatch idempotent sink
+
+UPSERT_KEY = ["user_id", "event_type"]
+
+
+def _scd1_merge(target: DataFrame, batch: DataFrame) -> DataFrame:
+    """Newest-row-per-key merge of a batch into the current target
+    (SCD-1 / MERGE ... WHEN MATCHED UPDATE). The order
+    (ts, value_c, event_id) DESC is a TOTAL order on rows within a
+    key (event_id is unique), so merging batch-by-batch commutes with
+    the one-shot batch merge — which is also why re-applying an
+    already-applied batch is a no-op: the merge itself is idempotent,
+    the batch-id log only skips the wasted work."""
+    from pyspark.sql import Window
+
+    allrows = target.unionByName(batch)
+    w = Window.partitionBy(*UPSERT_KEY).orderBy(
+        F.desc("ts"), F.desc("value_c"), F.desc("event_id")
+    )
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _batch_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        "event_id",
+    )
+
+
+def upsert_batch_into_parquet(
+    batch: DataFrame, batch_id: int, target_dir: str, log_dir: str
+) -> bool:
+    """One foreachBatch invocation: idempotently MERGE a micro-batch
+    into a parquet target. Returns False (skipped) if this batch_id is
+    already logged — the exactly-once recipe for a sink without
+    transactional MERGE: (1) skip logged batch ids (replays after a
+    checkpoint-recovery re-deliver the last batch), (2) the merge is
+    itself idempotent (total-order SCD-1), so even a crash between
+    target swap and log write cannot corrupt the target. Writes the
+    new target to a fresh directory then atomically renames over the
+    old one (Spark cannot overwrite a path it is reading)."""
+    import shutil
+
+    marker = os.path.join(log_dir, f"{batch_id}.done")
+    if os.path.exists(marker):
+        return False
+    spark = batch.sparkSession
+    projected = _batch_projection(batch)
+    if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        current = spark.read.parquet(target_dir)
+    else:
+        current = projected.limit(0)
+    merged = _scd1_merge(current, projected)
+    tmp = f"{target_dir}__b{batch_id}_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_dir):
+        shutil.rmtree(target_dir)
+    os.rename(tmp, target_dir)
+    with open(marker, "w") as f:
+        f.write("done")
+    return True
+
+
+def stream_upsert_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once triple-store upsert demo (SURVEY §2.C):
+    foreachBatch over the time-ordered replay MERGEs each micro-batch
+    newest-per-key into a parquet target — the pattern a production
+    triple/feature store uses when the sink has no native MERGE.
+    Returns the final target table. Scale shape: each micro-batch
+    shuffles batch+target keyed on the upsert key; a 100 TB target
+    would partition by a key prefix and rewrite only touched
+    partitions (same code per partition)."""
+    ev = events_timeordered_stream(spark, sf_dir)
+    target_dir = _scratch("upsert_tgt_")[:-1] + "t"  # non-existent yet
+    log_dir = _scratch("upsert_log_")
+
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda b, bid: upsert_batch_into_parquet(b, bid, target_dir, log_dir)
+        )
+        .option("checkpointLocation", _scratch("ck_upsert_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_dir).select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value_c",
+        "event_id",
+    )
+
+
+@query(
+    "stream_upsert_foreachbatch",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC,
+                                         CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value_c, event_id
+    FROM ranked WHERE rn = 1
+    """,
+    extra=True,  # local-only: registry stays at 50
+)
+def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-batch MERGE == the one-shot batch SCD-1 (the
+    oracle): the exactness of the equality is exactly the
+    total-order/commutativity argument in _scd1_merge."""
+    return stream_upsert_to_parquet(spark, sf_dir)

@@ -175,3 +175,62 @@ def test_stream_static_join_equals_batch(spark):
     )
     want = {r["c_mktsegment"]: (r["n"], r["value_c"]) for r in batch.collect()}
     assert got == want
+
+
+def test_foreachbatch_upsert_idempotent_replay(spark, tmp_path):
+    """Re-applying an already-applied micro-batch must leave the
+    target byte-for-byte unchanged — both via the batch-id log
+    (skip) and via the merge itself (total-order SCD-1 is a no-op
+    on replayed rows even WITHOUT the log, the crash-between-swap-
+    and-log case)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from kg.streaming import _batch_projection, upsert_batch_into_parquet
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    tgt = str(tmp_path / "tgt")
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+
+    def checksum():
+        return (
+            spark.read.parquet(tgt)
+            .agg(
+                F.bit_xor(
+                    F.xxhash64("user_id", "event_type", "ts", "value_c", "event_id")
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+
+    assert upsert_batch_into_parquet(b0, 0, tgt, log) is True
+    assert upsert_batch_into_parquet(b1, 1, tgt, log) is True
+    after_both = checksum()
+
+    # replay via the log: skipped, unchanged
+    assert upsert_batch_into_parquet(b1, 1, tgt, log) is False
+    assert checksum() == after_both
+
+    # replay WITHOUT the log entry (crash-after-swap scenario):
+    # the merge re-applies but the SCD-1 result is identical
+    os.remove(os.path.join(log, "1.done"))
+    assert upsert_batch_into_parquet(b1, 1, tgt, log) is True
+    assert checksum() == after_both
+
+    # and the target really is newest-per-key over everything seen
+    from kg.streaming import _scd1_merge
+
+    expect = _scd1_merge(
+        _batch_projection(b0), _batch_projection(b1)
+    )
+    got = spark.read.parquet(tgt)
+    assert got.count() == expect.count()
+    assert (
+        got.exceptAll(expect).count() == 0
+        and expect.exceptAll(got).count() == 0
+    )
