@@ -214,6 +214,16 @@ def decontaminate(
     passes unflagged) — hence the hard check, not a docstring caveat.
     One call sweeps ONE n; a real decontamination pass runs several
     (e.g. n in {8, 13} word-grams) and ORs the flags."""
+    hits = _decon_hits(n, _decon_normalize(phrases, n))
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_banned_hits"),
+        (hits > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _decon_normalize(phrases: list[str], n: int) -> list[str]:
+    """Lowercase + whitespace-normalize, enforcing exactly-n words."""
     if not phrases:
         raise ValueError("decontaminate: empty banned-phrase list")
     norm = [" ".join(p.lower().split()) for p in phrases]
@@ -225,6 +235,11 @@ def decontaminate(
         raise ValueError(
             f"decontaminate: phrases must be exactly {n} words: {bad!r}"
         )
+    return norm
+
+
+def _decon_hits(n: int, norm: list[str]):
+    """Per-doc banned-hit count for ONE n — a pure map-side Column."""
     tokens = ws_tokens(F.col("text"), lower=True)
     sh = F.when(
         F.size(tokens) >= n,
@@ -234,11 +249,32 @@ def decontaminate(
         ),
     ).otherwise(F.array().cast("array<string>"))
     banned = F.array(*[F.lit(p) for p in norm])
-    hits = F.size(F.array_intersect(F.array_distinct(sh), banned))
+    return F.size(F.array_intersect(F.array_distinct(sh), banned))
+
+
+def decontaminate_multi(
+    docs: DataFrame, phrases_by_n: dict[int, list[str]]
+) -> DataFrame:
+    """The real decontamination pass the single-n docstring promises:
+    sweep SEVERAL gram widths (e.g. n in {8, 13}) in one call and OR
+    the flags. All widths evaluate in the SAME map-only projection —
+    no join, no shuffle, one corpus pass regardless of how many n's —
+    so the 100 TB cost is identical to one single-n sweep plus the
+    extra per-row gram arrays. Emits the summed hit count and the
+    OR'd 0/1 flag."""
+    if not phrases_by_n:
+        raise ValueError("decontaminate_multi: empty phrase map")
+    hit_cols = [
+        _decon_hits(n, _decon_normalize(ps, n))
+        for n, ps in sorted(phrases_by_n.items())
+    ]
+    total = hit_cols[0]
+    for h in hit_cols[1:]:
+        total = total + h
     return docs.select(
         "doc_id",
-        hits.cast("long").alias("n_banned_hits"),
-        (hits > 0).cast("int").alias("contaminated"),
+        total.cast("long").alias("n_banned_hits"),
+        (total > 0).cast("int").alias("contaminated"),
     )
 
 
@@ -336,6 +372,8 @@ def pack_sequences(
 
 
 DECON_PHRASE = "zzq eval holdout"  # planted benchmark phrase (3-gram)
+# a second eval phrase at a DIFFERENT gram width for the multi-n sweep
+DECON_PHRASE5 = "zzv hidden test answer key"  # 5-gram
 
 
 @query(
@@ -380,6 +418,60 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return decontaminate(d, [DECON_PHRASE])
+
+
+@query(
+    "text_decontaminate_multi",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' {DECON_PHRASE}' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' {DECON_PHRASE5}' ELSE '' END
+               AS text
+      FROM documents),
+    toks AS (SELECT doc_id, {sql_ws_tokens("text", lower=True)} AS t FROM d),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN len(list_intersect(
+                         list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> array_to_string(t[i:i+2], ' '))),
+                         ['{DECON_PHRASE}']))
+                  ELSE 0 END AS h3,
+             CASE WHEN len(t) >= 5
+                  THEN len(list_intersect(
+                         list_distinct(list_transform(
+                           generate_series(1, len(t) - 4),
+                           i -> array_to_string(t[i:i+4], ' '))),
+                         ['{DECON_PHRASE5}']))
+                  ELSE 0 END AS h5
+      FROM toks)
+    SELECT doc_id,
+           CAST(h3 + h5 AS BIGINT) AS n_banned_hits,
+           CAST(CASE WHEN h3 + h5 > 0 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM sh
+    """,
+    extra=True,
+)
+def q_text_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two phrases at two gram widths, planted on different doc strides
+    # (doc_id % 77 == 0 gets both — the OR/sum must agree there too)
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + DECON_PHRASE)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" " + DECON_PHRASE5)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return decontaminate_multi(d, {3: [DECON_PHRASE], 5: [DECON_PHRASE5]})
 
 
 @query(

@@ -1014,3 +1014,138 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return substring_dup_stats(d)
+
+
+def dedup_substring_apply(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """The APPLY step of span-level dedup (Lee et al.): emit every
+    document with its cross-doc duplicated spans REMOVED — a token is
+    dropped iff it is covered by at least one word ``n``-gram that
+    also occurs in another document (all copies are dropped, the
+    conservative memorization-killing choice; ExactSubstr keeps one
+    copy — that needs a global occurrence ranking, a second
+    gram-keyed shuffle, and buys back little on boilerplate).
+    Emits (doc_id, n_tokens, n_removed, text_clean); text_clean is
+    the surviving tokens single-space-joined (whitespace normalizes —
+    the rest of a curation pipeline tokenizes with ws_tokens anyway).
+
+    Scale shape — three bounded shuffles, no pair space: gram-hash
+    agg for the shared set (partial agg collapses hot boilerplate
+    grams map-side), gram-hash join of occurrences to that set,
+    doc_id agg of covered positions; the rebuild is a map-side
+    doc_id join. Covered positions per doc are <= token count, so
+    the collect_set state is bounded by document length."""
+    tokens = ws_tokens(F.col("text"))
+    d = docs.select("doc_id", tokens.alias("t"))
+    grams = (
+        d.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1), "
+                    f"i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), _neutral_hash64(F.col("s.g")).alias("gh"))
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    covered = (
+        grams.join(shared, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    # sequence(1, 0) DESCENDS (the bigram_lm gotcha): empty docs must
+    # short-circuit to an empty index list, not filter over [1, 0]
+    kept_idx = F.when(
+        F.size("t") >= 1,
+        F.expr(
+            "filter(sequence(1, size(t)), "
+            "i -> cov IS NULL OR NOT array_contains(cov, i))"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.join(covered, "doc_id", "left")
+        .withColumn("_k", kept_idx)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("_k")).cast("long").alias("n_removed"),
+            F.when(
+                F.size("_k") > 0,
+                F.concat_ws(
+                    " ", F.expr("transform(_k, i -> element_at(t, i))")
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("text_clean"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_apply",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' {SUBSTR_BOILER}'
+                  ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, {{WS}} AS t FROM d),
+    grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(t[i:i+{SUBSTR_N - 1}], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {SUBSTR_N} + 1)) AS i
+            FROM toks WHERE len(t) >= {SUBSTR_N})),
+    shared AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos
+      FROM (SELECT g.doc_id,
+                   unnest(generate_series(g.i, g.i + {SUBSTR_N} - 1)) AS pos
+            FROM grams g JOIN shared s ON s.gh = g.gh)),
+    tokpos AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM toks)),
+    kept AS (
+      SELECT tp.doc_id,
+             string_agg(tp.w, ' ' ORDER BY tp.pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM tokpos tp LEFT JOIN cov c
+        ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+      WHERE c.pos IS NULL GROUP BY tp.doc_id)
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM toks LEFT JOIN kept k ON k.doc_id = toks.doc_id
+    """.replace("{WS}", sql_ws_tokens("text")),
+    extra=True,  # local-only: registry stays at 50
+)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same planted boilerplate as the stats row: every 5th doc gains
+    # the shared span, and the apply must strip exactly that span
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_substring_apply(d)

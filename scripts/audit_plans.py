@@ -297,6 +297,24 @@ def main() -> int:
         ppart[-600:],
     )
 
+    # --- r6 additions -----------------------------------------------------
+    # multi-n decontamination must keep the single-n shape: every gram
+    # width evaluates in ONE map-only projection (no join, no shuffle)
+    all_q = __import__("__spark_entry__").all_queries()
+    pdm = plan_of(all_q["text_decontaminate_multi"](spark, sf_dir))
+    check(
+        "decontaminate_multi is map-only (zero Exchange, zero Join)",
+        "Exchange" not in pdm and "Join" not in pdm and "Python" not in pdm,
+    )
+    # span-dedup APPLY: gram-hash/doc-keyed shuffles only — JVM-side,
+    # no cartesian, and no broadcast of the corpus-sized gram side
+    psa = plan_of(all_q["dedup_substring_apply"](spark, sf_dir))
+    check(
+        "dedup_substring_apply stays JVM-side, no cartesian",
+        "Python" not in psa and "Arrow" not in psa
+        and "CartesianProduct" not in psa,
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline

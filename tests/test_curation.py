@@ -534,3 +534,31 @@ def test_exotic_whitespace_one_token_stream_everywhere(spark):
     flagged = decontaminate(docs, ["beta gamma"], n=2).collect()[0]
     assert flagged["contaminated"] == 1
     assert flagged["n_banned_hits"] == 1
+
+
+def test_decontaminate_multi_ors_across_widths(spark):
+    """Multi-n sweep: a 3-gram-only doc, a 5-gram-only doc, a
+    both-phrases doc (hits sum), and a clean doc — flags OR across
+    widths; a phrase whose width matches no sweep entry raises."""
+    import pytest
+
+    from kg.curation import decontaminate_multi
+
+    p3, p5 = "zzq eval holdout", "zzv hidden test answer key"
+    rows = [
+        (0, f"alpha {p3} beta", "en", "s", 0),
+        (1, f"gamma {p5} delta", "en", "s", 0),
+        (2, f"{p3} and {p5}", "en", "s", 0),
+        (3, "totally clean text here", "en", "s", 0),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["n_banned_hits"], r["contaminated"])
+        for r in decontaminate_multi(docs, {3: [p3], 5: [p5]}).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1), 2: (2, 1), 3: (0, 0)}
+
+    with pytest.raises(ValueError):
+        decontaminate_multi(docs, {5: [p3]})  # 3 words under n=5
+    with pytest.raises(ValueError):
+        decontaminate_multi(docs, {})

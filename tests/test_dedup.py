@@ -333,3 +333,31 @@ def test_substring_dup_stats_fixture_planted(spark):
     assert mean([r["dup_frac"] for r in planted]) > mean(
         [r["dup_frac"] for r in clean]
     )
+
+
+def test_substring_apply_strips_boilerplate_keeps_unique(spark):
+    """The Lee et al. APPLY step: a boilerplate span shared by two
+    docs is removed from BOTH (all copies dropped), every unique
+    token survives, and a doc with no shared span is untouched."""
+    from kg.dedup import SUBSTR_BOILER, SUBSTR_N, dedup_substring_apply
+
+    boiler = SUBSTR_BOILER.split()  # 8 words >= SUBSTR_N
+    assert len(boiler) >= SUBSTR_N
+    u = [[f"u{d}t{i}" for i in range(6)] for d in range(3)]
+    rows = [
+        (0, " ".join(u[0][:3] + boiler + u[0][3:]), "en", "s", 0),
+        (1, " ".join(boiler + u[1]), "en", "s", 0),
+        (2, " ".join(u[2]), "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in dedup_substring_apply(docs).collect()}
+
+    assert got[0]["text_clean"] == " ".join(u[0][:3] + u[0][3:])
+    assert got[1]["text_clean"] == " ".join(u[1])
+    assert got[2]["text_clean"] == " ".join(u[2])
+    assert got[0]["n_removed"] == len(boiler)
+    assert got[1]["n_removed"] == len(boiler)
+    assert got[2]["n_removed"] == 0
+    assert got[0]["n_tokens"] == 6 + len(boiler)
