@@ -2220,6 +2220,60 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_skew_salted_join",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY n.n_name
+    """,
+    extra=True,  # local-only: skew-salted join surface
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join — the skew-safe fact-dim join when
+    neither broadcast nor AQE applies: the fact side carries a
+    deterministic xxhash64 row salt, the dim side replicates once per
+    salt bucket (dim x SALT_BUCKETS rows — dims are small, the
+    replication is cheap), and the join keys on (key, salt) so a hot
+    key's rows spread over SALT_BUCKETS reducers instead of melting
+    one. The salt cancels (every fact row matches exactly its own
+    salt's dim copy), so the oracle is the PLAIN join + GROUP BY.
+
+    When to use which (measured in scripts/skew_ab.py, artifact in
+    BENCH/BASELINE.md): broadcast the dim if it fits (kills the
+    shuffle entirely); else AQE skewJoin splits oversized partitions
+    at runtime for plain shuffle joins — prefer it, zero code; manual
+    salting remains for the cases AQE cannot see: skewed
+    AGGREGATIONS (q_skew_salted_agg), skew under bucketed/co-located
+    joins where AQE would have to break the bucketing, and engines/
+    paths with AQE off. The merge hint forces the shuffle join at
+    test scale (auto-broadcast would erase the pattern — same trick
+    as q_bucketed_join)."""
+    ev = T(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("k"),
+        cents("value").alias("value_c"),
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).alias("_salt"),
+    )
+    dim = (
+        T(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"), "n_name")
+        .withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])),
+        )
+    )
+    return (
+        ev.join(dim.hint("merge"), ["k", "_salt"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").alias("value_c"),
+        )
+    )
+
+
 # =====================================================================
 # fuzzy match by edit distance (map-only top-k)
 # =====================================================================

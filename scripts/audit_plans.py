@@ -315,6 +315,18 @@ def main() -> int:
         and "CartesianProduct" not in psa,
     )
 
+    # salted join: the shuffle must key on (k, _salt) — a broadcast or
+    # a salt-free partitioning would erase the skew-spreading
+    import re as _re
+
+    psj = plan_of(all_q["q_skew_salted_join"](spark, sf_dir))
+    check(
+        "salted join shuffles on (k, _salt), not broadcast",
+        "SortMergeJoin" in psj
+        and _re.search(r"hashpartitioning\([^)]*_salt", psj) is not None
+        and "BroadcastHashJoin" not in psj,
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline
