@@ -1917,6 +1917,272 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# correlated EXISTS with a non-equi condition (TPC-H Q4 shape)
+# =====================================================================
+
+
+@query(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    extra=True,  # local-only: non-equi correlated-EXISTS surface
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a six-month
+    window with at least one lineitem shipped more than 90 days after
+    the order date, counted per priority. The correlated EXISTS with a
+    NON-equi inner condition decorrelates to a LEFT SEMI join whose
+    condition mixes the orderkey equality with the cross-table date
+    comparison — Catalyst keys the shuffle on the equality and
+    evaluates the date predicate as a join residual, so this stays one
+    fact-fact sort-merge semi (no fact is ever duplicated, unlike an
+    inner-join + distinct rewrite). The fixture has no
+    commit/receipt-date pair, so lateness is ship-vs-order date — the
+    identical correlated shape. Day arithmetic is whole-day INTERVAL
+    on midnight timestamps: the same integer granularity on both
+    sides (the r5 truncation lesson)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# =====================================================================
+# conditional-aggregate ratio (TPC-H Q14 shape)
+# =====================================================================
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate <  TIMESTAMP '1996-06-01')
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN li.rev_c
+                         ELSE 0 END) AS BIGINT) AS promo_rev_c,
+           CAST(SUM(li.rev_c) AS BIGINT) AS total_rev_c,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN li.rev_c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(li.rev_c) AS DOUBLE), 4) AS promo_pct
+    FROM li JOIN part p ON p.p_partkey = li.l_partkey
+    """,
+    extra=True,  # local-only: conditional-aggregate ratio surface
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one quarter's
+    revenue that came from PROMO parts, as a conditional aggregate
+    over the lineitem-part join — one broadcast hash join (part is
+    dimension-sized at every SF: ~2M rows at SF100, well under the
+    broadcast bar), one partial+final agg, zero shuffle of the fact
+    beyond the agg's single-row combine. Revenue is exact integer
+    price_c x (100 - disc_c) — the discounted price in
+    ten-thousandths, so the CASE/SUM arithmetic never touches floats;
+    only the final percentage divides (identical IEEE expression both
+    sides, ROUND 4). The fixture's p_type is the bare promo tier word,
+    so the reference's LIKE 'PROMO%%' is equality here."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-06-01")
+        )
+        .select(
+            "l_partkey",
+            (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "rev_c"
+            ),
+        )
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0))
+    )
+    total = F.sum("rev_c")
+    return j.agg(
+        promo.alias("promo_rev_c"),
+        total.alias("total_rev_c"),
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 4
+        ).alias("promo_pct"),
+    )
+
+
+# =====================================================================
+# disjunctive multi-column join predicate (TPC-H Q19 shape)
+# =====================================================================
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(li.rev_c) AS BIGINT) AS revenue_c
+    FROM li JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+           AND li.qty_c BETWEEN 100 AND 2000)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 5 AND 25
+           AND li.qty_c BETWEEN 1000 AND 3000)
+       OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 1 AND 15
+           AND li.qty_c BETWEEN 2500 AND 5000)
+    """,
+    extra=True,  # local-only: disjunctive join-predicate surface
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR of three AND-groups
+    that each mix part-side attributes (brand/type/size) with a
+    fact-side quantity band — the canonical disjunctive join
+    predicate. The join itself is a broadcast hash join on partkey;
+    the disjunction is a single whole-stage-codegen'd residual filter
+    on the joined row (no fan-out, no second scan — the naive
+    per-branch UNION rewrite would scan the fact three times).
+    Catalyst's CNF conversion can push the OR of part-only conjuncts
+    to the build side; correctness never depends on it, since the
+    residual re-checks the full disjunction. All band comparisons are
+    exact integer cents."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents("l_quantity").alias("qty_c"),
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 10)
+        & F.col("qty_c").between(100, 2000)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(5, 25)
+        & F.col("qty_c").between(1000, 3000)
+    )
+    b3 = (
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").between(1, 15)
+        & F.col("qty_c").between(2500, 5000)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_c").alias("revenue_c"),
+        )
+    )
+
+
+# =====================================================================
+# double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape)
+# =====================================================================
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    SELECT s.s_suppkey,
+           s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >
+                            l3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    extra=True,  # local-only: double-correlated EXISTS/NOT-EXISTS surface
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, the late lineitems on multi-supplier orders where that
+    supplier was the ONLY late one. The oracle states it as the
+    reference's double-correlated EXISTS + NOT EXISTS; the engine
+    decorrelates BOTH subqueries into ONE per-order profile aggregate
+    — n_supp = distinct suppliers, n_late_supp = distinct LATE
+    suppliers — because over the same correlation key (EXISTS other
+    supplier <=> n_supp >= 2; NOT EXISTS other LATE supplier, given
+    the probe row is itself late, <=> n_late_supp = 1). At 100 TB
+    that turns two extra corpus-sized correlated scans into a single
+    orderkey-keyed aggregation joined back to the late rows, the same
+    aggregate-once-join-back shape as Q18; the supplier dim joins
+    broadcast. Lateness = shipped >90 days after order date (whole-day
+    INTERVAL on midnight timestamps, same granularity both sides)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    prof = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("late"))
+        .join(prof, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# =====================================================================
 # bloom-filter runtime join pruning
 # =====================================================================
 

@@ -327,6 +327,37 @@ def main() -> int:
         and "BroadcastHashJoin" not in psj,
     )
 
+    # TPC-H-shape additions: the decorrelated plans must keep their
+    # intended physical shapes
+    # Q4: the correlated EXISTS decorrelates to ONE semi join (the fact
+    # is never duplicated the way an inner-join+distinct rewrite would)
+    p4 = plan_of(all_q["q4_priority_exists"](spark, sf_dir))
+    check(
+        "q4 EXISTS is a single LeftSemi join, date filter pushed",
+        "LeftSemi" in p4
+        and "PushedFilters" in p4
+        and "HashAggregate" in p4,
+    )
+    # Q14/Q19: part is dimension-sized — the join must broadcast, and
+    # the whole plan stays JVM-side
+    for nm in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        pq = plan_of(all_q[nm](spark, sf_dir))
+        check(
+            f"{nm} broadcasts part, no sort-merge, JVM-only",
+            "BroadcastHashJoin" in pq
+            and "SortMergeJoin" not in pq
+            and "Python" not in pq,
+        )
+    # Q21: both correlated subqueries collapse into one per-order
+    # profile aggregate (no cartesian, supplier dim broadcast)
+    p21 = plan_of(all_q["q21_waiting_supplier"](spark, sf_dir))
+    check(
+        "q21 decorrelates to aggregate+join-back (no cartesian)",
+        "CartesianProduct" not in p21
+        and "BroadcastNestedLoopJoin" not in p21
+        and "BroadcastHashJoin" in p21,
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline
