@@ -50,3 +50,48 @@ def test_range_frame_is_time_based_not_row_based(spark):
     assert any(got[e] < upto[e] for e in got), "frame never excluded old events"
     assert any(got[e] > 1 for e in got), "frame never included a neighbor"
     assert all(got[e] <= upto[e] for e in got)
+
+
+def test_q21_decorrelation_hand_case(spark, tmp_path):
+    """The per-order (n_supp, n_late_supp) profile must reproduce the
+    correlated EXISTS/NOT-EXISTS semantics row-for-row: a supplier
+    with TWO late lineitems on one qualifying order is counted twice
+    (row-level numwait, as in the correlated form); an order where
+    two suppliers are late disqualifies both; a single-supplier
+    order never qualifies (no EXISTS-other-supplier)."""
+    from datetime import datetime
+
+    from kg.relational import q21_waiting_supplier
+
+    d = datetime(2000, 1, 1)
+    on_time = datetime(2000, 2, 1)  # 31 days — not late
+    late = datetime(2000, 6, 1)  # 152 days — late (>90)
+    li = [
+        # order 1: supp 1 late TWICE, supp 2 on time -> supp1 += 2
+        (1, 1, late), (1, 1, late), (1, 2, on_time),
+        # order 2: both suppliers late -> nobody counted
+        (2, 1, late), (2, 2, late),
+        # order 3: single-supplier order, late -> excluded (no other supp)
+        (3, 1, late),
+        # order 4: supp 3 late once, supp 2 on time -> supp3 += 1
+        (4, 3, late), (4, 2, on_time),
+        # order 5: nobody late
+        (5, 1, on_time), (5, 2, on_time),
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(k, d) for k in (1, 2, 3, 4, 5)],
+        "o_orderkey long, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "Supp#1"), (2, "Supp#2"), (3, "Supp#3")],
+        "s_suppkey long, s_name string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in q21_waiting_supplier(spark, str(tmp_path)).collect()
+    }
+    assert got == {"Supp#1": 2, "Supp#3": 1}
