@@ -1061,7 +1061,10 @@ def dedup_substring_apply(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
             "doc_id",
             F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
         )
-        .distinct()
+        # no distinct() before the groupBy: collect_set dedups, and its
+        # map-side partial aggregation already collapses the <= n
+        # duplicate (doc, pos) rows per overlapping gram — an explicit
+        # distinct would add a second corpus-sized Exchange for nothing
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("cov"))
     )
