@@ -2143,42 +2143,57 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, the late lineitems on multi-supplier orders where that
     supplier was the ONLY late one. The oracle states it as the
     reference's double-correlated EXISTS + NOT EXISTS; the engine
-    decorrelates BOTH subqueries into ONE per-order profile aggregate
-    — n_supp = distinct suppliers, n_late_supp = distinct LATE
-    suppliers — because over the same correlation key (EXISTS other
-    supplier <=> n_supp >= 2; NOT EXISTS other LATE supplier, given
-    the probe row is itself late, <=> n_late_supp = 1). At 100 TB
-    that turns two extra corpus-sized correlated scans into a single
-    orderkey-keyed aggregation joined back to the late rows, the same
-    aggregate-once-join-back shape as Q18; the supplier dim joins
-    broadcast. Lateness = shipped >90 days after order date (whole-day
-    INTERVAL on midnight timestamps, same granularity both sides)."""
+    decorrelates BOTH subqueries in a SINGLE pass with no self-join
+    at all: aggregate the fact join once to (order, supplier) grain
+    (n_late = that supplier's late rows on that order), then a window
+    over l_orderkey derives both correlated facts on the aggregated
+    table — n_supp = count over the order (EXISTS other supplier <=>
+    >= 2) and n_late_supp = count of suppliers with n_late > 0 (NOT
+    EXISTS other LATE supplier, given this one is late, <=> = 1);
+    numwait = sum of n_late over qualifying rows, preserving the
+    correlated form's row-level count. Every subtree is consumed
+    once — the aggregate-once-join-back alternative plans the
+    fact⋈orders join TWICE (measured: 10 parquet scans vs 3 here;
+    Spark's ReuseExchange does not canonicalize the two references
+    together). The window partitions by an order key the preceding
+    aggregation already hashed on a superset of, and order×supplier
+    rows are ~4x smaller than lineitem, so the window exchange is
+    cheap; the supplier dim joins broadcast. Lateness = shipped >90
+    days after order date (whole-day INTERVAL on midnight timestamps,
+    same granularity both sides)."""
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        ).alias("late"),
+    os_grain = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("long")
+            ).alias("n_late")
+        )
     )
-    prof = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    prof = os_grain.select(
+        "l_suppkey",
+        "n_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum((F.col("n_late") > 0).cast("long")).over(w).alias("n_late_supp"),
     )
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("late"))
-        .join(prof, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        prof.filter(
+            (F.col("n_late") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
     )
 
 

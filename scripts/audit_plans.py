@@ -348,14 +348,18 @@ def main() -> int:
             and "SortMergeJoin" not in pq
             and "Python" not in pq,
         )
-    # Q21: both correlated subqueries collapse into one per-order
-    # profile aggregate (no cartesian, supplier dim broadcast)
+    # Q21: both correlated subqueries collapse into ONE pass — the
+    # fact join is consumed once (exactly 3 scans: lineitem, orders,
+    # supplier; the join-back formulation plans it twice = 10 scans),
+    # no cartesian, supplier dim broadcast
     p21 = plan_of(all_q["q21_waiting_supplier"](spark, sf_dir))
     check(
-        "q21 decorrelates to aggregate+join-back (no cartesian)",
+        "q21 decorrelates single-pass (3 scans, window, no cartesian)",
         "CartesianProduct" not in p21
         and "BroadcastNestedLoopJoin" not in p21
-        and "BroadcastHashJoin" in p21,
+        and "BroadcastHashJoin" in p21
+        and p21.count("Scan parquet") == 3,
+        f"scans={p21.count('Scan parquet')}",
     )
 
     # --- input-split sizing is scoped, not global -------------------------
