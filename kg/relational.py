@@ -2198,6 +2198,86 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# semi-join on an aggregate-threshold set (TPC-H Q20 shape)
+# =====================================================================
+
+
+@query(
+    "q20_dominant_supplier",
+    """
+    WITH li AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_type = 'ECONOMY'))
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM li l
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING SUM(l.qc) * 2 > (SELECT SUM(l2.qc) FROM li l2
+                              WHERE l2.l_partkey = l.l_partkey)
+         AND EXISTS (SELECT 1 FROM li l3
+                     WHERE l3.l_partkey = l.l_partkey
+                       AND l3.l_suppkey <> l.l_suppkey))
+    """,
+    extra=True,  # local-only: aggregate-threshold semi-join surface
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (qualified-supplier semi-join): suppliers that
+    shipped MORE THAN HALF of some contested (multi-supplier) ECONOMY
+    part's half-year volume — membership in a set defined by a HAVING
+    whose threshold is itself a correlated aggregate. The oracle
+    states the reference's nested form (IN + correlated scalar
+    subquery in the HAVING + EXISTS); the engine single-passes it the
+    same way as Q21: one (part, supplier)-grain aggregate of the
+    filtered fact, a window over the part key for the part total and
+    the contested-part count (both correlated subqueries, no
+    self-join, every subtree consumed once), then the qualifying
+    supplier ids feed a LEFT SEMI join into the supplier dim — the
+    100 TB shape keeps the dim probe at distinct-qualifier size, not
+    fact size. Domination is exact-integer cross-multiplied
+    (q * 2 > total); the fixture has no partsupp/availqty, so the
+    reference's available-vs-shipped ratio becomes shipped-share —
+    the identical nesting with the tables on hand."""
+    eco = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .join(F.broadcast(eco), "l_partkey", "left_semi")
+        .select("l_partkey", "l_suppkey", cents("l_quantity").alias("qc"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qc").alias("q"))
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        ps.select(
+            "l_suppkey",
+            "q",
+            F.sum("q").over(w).alias("t"),
+            F.count(F.lit(1)).over(w).alias("ns"),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("q") * 2 > F.col("t")))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .join(qualified, "s_suppkey", "left_semi")
+    )
+
+
+# =====================================================================
 # bloom-filter runtime join pruning
 # =====================================================================
 

@@ -362,6 +362,18 @@ def main() -> int:
         f"scans={p21.count('Scan parquet')}",
     )
 
+    # Q20: like Q21, both nested subqueries collapse into one pass —
+    # exactly 3 scans (lineitem, part, supplier), the qualifier set
+    # probes the supplier dim as a semi join
+    p20 = plan_of(all_q["q20_dominant_supplier"](spark, sf_dir))
+    check(
+        "q20 single-pass (3 scans, semi-join qualifier probe)",
+        p20.count("Scan parquet") == 3
+        and "LeftSemi" in p20
+        and "CartesianProduct" not in p20,
+        f"scans={p20.count('Scan parquet')}",
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline
