@@ -215,6 +215,66 @@ def with_shingle_hashes(
     return d.withColumn(out, hashes).drop("_th")
 
 
+def minhash_band_buckets_maponly(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, bucket) with the signature computed ENTIRELY
+    map-side — per row, sig[perm] = array_min over the shingle-hash
+    array under that permutation; zero shuffle, zero state. The batch
+    path (minhash_signatures / _udf) aggregates exploded shingles,
+    which is the right shape for a corpus pass — but a groupBy is a
+    STATEFUL operator on a stream, and Spark disallows a streaming
+    aggregation upstream of a join, so the streaming near-dup gate
+    needs this per-row form. Neutral hashing throughout: buckets are
+    the minima STRING in perm order, bit-identical to
+    minhash_signatures_udf(neutral=True) + the neutral band_key
+    (same shingle hashes, same (a*h+b) %% P, min over the same
+    multiset — distinct-vs-multiset is irrelevant under min; equality
+    gated in tests/test_dedup.py). Shingle-less docs (< n tokens)
+    emit no bands, matching the SQL derivation where an empty shingle
+    set yields no signature rows."""
+    rpb = k // bands
+    params = _permutation_params(k, seed)
+    d = with_shingle_hashes_neutral(docs, n).filter(F.size("hs") >= 1)
+
+    # a closure factory, NOT `lambda h, a=a, b=b`: pyspark maps the
+    # lambda's full Python arity onto the higher-order function's
+    # (element, index, ...) slots, so default-bound extras break
+    def perm_hash(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), perm_hash(a, b)))
+            for _i, a, b in params
+        ]
+    )
+    bb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i * rpb + j].cast("string")
+                        for j in range(rpb)
+                    ],
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return (
+        d.select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bb).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, k: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -675,6 +735,54 @@ def _minhash_pair_ctes(
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
       GROUP BY c.doc_a, c.doc_b)"""
+
+
+def _perms_values_sql(k: int = 32, seed: int = 42) -> str:
+    """The shared `perms(perm, a, b)` VALUES CTE body."""
+    return ",\n      ".join(
+        f"({i}, {a}, {b})" for i, a, b in _permutation_params(k, seed)
+    )
+
+
+def _band_ctes_sql(
+    src: str,
+    pfx: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> str:
+    """Parameterized (source table, CTE prefix) twin of the band
+    derivation inside _minhash_pair_ctes — emits `{pfx}toks/sh/sigs/
+    bnd` over `src`, assuming a `perms` CTE is already in scope. Used
+    by oracles that need bands for MORE THAN ONE document set (the
+    streaming near-dup gate: corpus index + incoming stream);
+    _minhash_pair_ctes stays verbatim for the single-set pair/cluster
+    oracles."""
+    from kg.relational import sql_ws_tokens
+
+    rpb = k // bands
+    P = MERSENNE_P
+    B = NEUTRAL_BASE
+    shingle = "th[i]"
+    for j in range(1, n):
+        shingle = f"({shingle} * {B} + th[i + {j}]) % {P}"
+    return f"""{pfx}toks AS (
+      SELECT doc_id,
+             list_transform({sql_ws_tokens("text")},
+               x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {P}) AS th
+      FROM {src}),
+    {pfx}sh AS (
+      SELECT DISTINCT doc_id, {shingle} AS h
+      FROM (SELECT doc_id, th,
+                   unnest(generate_series(1, len(th) - {n - 1})) AS i
+            FROM {pfx}toks WHERE len(th) >= {n})),
+    {pfx}sigs AS (
+      SELECT s.doc_id, p.perm, MIN((p.a * s.h + p.b) % {P}) AS mh
+      FROM {pfx}sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm),
+    {pfx}bnd AS (
+      SELECT doc_id, perm // {rpb} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS bucket
+      FROM {pfx}sigs GROUP BY doc_id, perm // {rpb})"""
 
 
 def _minhash_oracle_sql(

@@ -714,3 +714,119 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle): the exactness of the equality is exactly the
     total-order/commutativity argument in _scd1_merge."""
     return stream_upsert_to_parquet(spark, sf_dir)
+
+
+# ------------------------------------------- streaming near-dup gate
+
+STREAM_GATE_OFFSET = 1_000_000
+GATE_N_FILES = 4
+_GATE_SRC_DIRS: dict[str, str] = {}
+
+
+def _incoming_docs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 'incoming documents' fixture the gate
+    filters: every corpus doc arrives again under a shifted id —
+    originals with doc_id %% 3 == 0 as EXACT copies (guaranteed
+    band collisions), the rest token-reversed (reversal changes
+    every word n-gram of a non-palindromic doc, so these are mostly
+    novel). Which docs actually collide is data the oracle re-derives
+    exactly; nothing downstream depends on a similarity threshold."""
+    from kg.relational import ws_tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        (F.col("doc_id") + STREAM_GATE_OFFSET).alias("doc_id"),
+        F.when((F.col("doc_id") % 3) == 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", F.reverse(ws_tokens(F.col("text")))))
+        .alias("text"),
+    )
+
+
+def incoming_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incoming-docs fixture as a GATE_N_FILES-file stream
+    (maxFilesPerTrigger=1 -> multiple micro-batches). No time
+    ordering needed: the gate is stateless per document."""
+    d = _GATE_SRC_DIRS.get(sf_dir)
+    if d is None:
+        d = _scratch("src_gate_")
+        (
+            _incoming_docs_batch(spark, sf_dir)
+            .repartition(GATE_N_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _GATE_SRC_DIRS[sf_dir] = d
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def stream_neardup_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup INGEST GATE: each micro-batch of incoming documents
+    is MinHash-banded and probed against the static corpus band index
+    — the dedup-before-ingest pattern of a production corpus builder
+    (don't let near-copies of what you already hold enter the lake).
+    Emits (doc_id, n_hit_bands) for incoming docs that collide with
+    the corpus in >= 1 of the 8 bands; the kept set is the anti
+    complement.
+
+    Streaming shape: the stream side computes signatures with the
+    MAP-ONLY band form (kg/dedup.py minhash_band_buckets_maponly — a
+    groupBy signature would be a streaming aggregation upstream of a
+    join, which Spark disallows), the semi join keeps stream rows
+    only (one row per colliding band, no fan-out from multiple static
+    partners), and the per-doc count is the one stateful operator. At
+    100 TB the corpus index does not broadcast: it is written
+    bucketed by (band, bucket) once and each micro-batch co-locates
+    into it (or a bloom over bucket keys prefilters, q_bloom_prune
+    shape); the fixture-sized index here takes the broadcast path."""
+    from kg.dedup import minhash_band_buckets_maponly
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = (
+        minhash_band_buckets_maponly(corpus)
+        .select("band", "bucket")
+        .distinct()
+    )
+    hits = minhash_band_buckets_maponly(
+        incoming_docs_stream(spark, sf_dir)
+    ).join(F.broadcast(idx), ["band", "bucket"], "left_semi")
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_bands")
+    )
+    return _run_available_now(agg, "ndgate")
+
+
+def _neardup_gate_oracle() -> str:
+    from kg.dedup import _band_ctes_sql, _perms_values_sql
+    from kg.relational import sql_ws_tokens
+
+    return f"""
+    WITH perms(perm, a, b) AS (VALUES
+      {_perms_values_sql()}
+    ),
+    streamdocs AS (
+      SELECT d.doc_id + {STREAM_GATE_OFFSET} AS doc_id,
+             CASE WHEN d.doc_id % 3 = 0 THEN d.text
+                  ELSE array_to_string(
+                         list_reverse({sql_ws_tokens("d.text")}), ' ')
+             END AS text
+      FROM documents d),
+    {_band_ctes_sql("documents", "c_")},
+    {_band_ctes_sql("streamdocs", "s_")},
+    idx AS (SELECT DISTINCT band, bucket FROM c_bnd)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_bands
+    FROM s_bnd s JOIN idx i ON i.band = s.band AND i.bucket = s.bucket
+    GROUP BY s.doc_id
+    """
+
+
+@query(
+    "stream_neardup_gate",
+    _neardup_gate_oracle(),
+    extra=True,  # local-only: registry stays at 50
+)
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_neardup_gate_counts(spark, sf_dir)

@@ -374,6 +374,23 @@ def main() -> int:
         f"scans={p20.count('Scan parquet')}",
     )
 
+    # streaming near-dup gate: the band computation the STREAM side
+    # uses must be genuinely map-only (zero Exchange, zero Window,
+    # zero Python) — a shuffle here would be a second stateful
+    # operator in the streaming plan
+    from kg.dedup import minhash_band_buckets_maponly
+
+    pmb = plan_of(
+        minhash_band_buckets_maponly(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    )
+    check(
+        "map-only minhash bands: no Exchange/Window/Python",
+        "Exchange" not in pmb and "Window" not in pmb
+        and "Python" not in pmb and "Arrow" not in pmb,
+    )
+
     # --- input-split sizing is scoped, not global -------------------------
     # Relational scans must see the 128m default (16m globally = 8x the
     # tasks per scan — the r2 cold-bench regression); the 16m pipeline

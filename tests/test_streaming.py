@@ -234,3 +234,60 @@ def test_foreachbatch_upsert_idempotent_replay(spark, tmp_path):
         got.exceptAll(expect).count() == 0
         and expect.exceptAll(got).count() == 0
     )
+
+
+def test_neardup_gate_flags_exact_copies(spark):
+    """The ingest gate must flag every exact copy in ALL 8 bands (an
+    identical doc has an identical signature), and the map-only band
+    form the stream side uses must be bit-identical to the batch
+    signature path (same shingle hashes, same permutations)."""
+    import pyspark.sql.functions as F
+
+    from kg.dedup import minhash_band_buckets_maponly, minhash_signatures_udf
+    from kg.relational import ws_tokens
+    from kg.streaming import (
+        STREAM_GATE_OFFSET,
+        stream_neardup_gate_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # map-only bands == batch-path bands (reconstructed from the
+    # aggregated neutral signatures with the same band key)
+    rpb = 32 // 8
+    sigs = minhash_signatures_udf(docs, 3, 32, 42, neutral=True)
+    batch_bands = set()
+    for r in sigs.collect():
+        for bi in range(8):
+            batch_bands.add(
+                (
+                    r["doc_id"],
+                    bi,
+                    ",".join(
+                        str(v) for v in r["sig"][bi * rpb : (bi + 1) * rpb]
+                    ),
+                )
+            )
+    map_bands = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in minhash_band_buckets_maponly(docs).collect()
+    }
+    assert map_bands == batch_bands
+
+    got = {
+        r["doc_id"]: r["n_hit_bands"]
+        for r in stream_neardup_gate_counts(spark, sf).collect()
+    }
+    copies = {
+        r["doc_id"] + STREAM_GATE_OFFSET
+        for r in docs.filter(
+            (F.col("doc_id") % 3 == 0) & (F.size(ws_tokens(F.col("text"))) >= 3)
+        ).collect()
+    }
+    assert copies, "fixture has no eligible exact copies"
+    for c in copies:
+        assert got.get(c) == 8, f"exact copy {c} not flagged in all bands"
+    # the reversed variants must not ALL collide — the gate separates
+    n_stream = docs.filter(F.size(ws_tokens(F.col("text"))) >= 3).count()
+    assert len(got) < n_stream, "every incoming doc flagged — gate is vacuous"
