@@ -691,39 +691,15 @@ def _minhash_pair_ctes(
 ) -> str:
     """The shared CTE block of the MinHash+LSH oracle (everything up
     to the verified-pair aggregate `com` + the `sizes` table): reused
-    verbatim by the pair query's oracle and the cluster query's
-    (which appends a recursive-CTE closure over the pairs)."""
-    rpb = k // bands
-    P = MERSENNE_P
-    B = NEUTRAL_BASE
-    perms = ",\n      ".join(
-        f"({i}, {a}, {b})" for i, a, b in _permutation_params(k, seed)
-    )
-    # shingle hash = polynomial of the n token hashes, unrolled to one
-    # expression: ((th[i]*B + th[i+1]) % P * B + th[i+2]) % P for n=3
-    shingle = "th[i]"
-    for j in range(1, n):
-        shingle = f"({shingle} * {B} + th[i + {j}]) % {P}"
+    by the pair query's oracle and the cluster query's (which appends
+    a recursive-CTE closure over the pairs). The perms/band
+    derivation is COMPOSED from _perms_values_sql/_band_ctes_sql —
+    one source of truth for the bit-exactness-critical hashing SQL,
+    shared with the streaming gate's two-table oracle."""
     return f"""perms(perm, a, b) AS (VALUES
-      {perms}
+      {_perms_values_sql(k, seed)}
     ),
-    toks AS (
-      SELECT doc_id,
-             list_transform({sql_ws_tokens("text")},
-               x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {P}) AS th
-      FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, {shingle} AS h
-      FROM (SELECT doc_id, th,
-                   unnest(generate_series(1, len(th) - {n - 1})) AS i
-            FROM toks WHERE len(th) >= {n})),
-    sigs AS (
-      SELECT s.doc_id, p.perm, MIN((p.a * s.h + p.b) % {P}) AS mh
-      FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.perm),
-    bnd AS (
-      SELECT doc_id, perm // {rpb} AS band,
-             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS bucket
-      FROM sigs GROUP BY doc_id, perm // {rpb}),
+    {_band_ctes_sql("documents", "", n, k, bands)},
     cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
@@ -1141,7 +1117,14 @@ def dedup_substring_apply(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     grams map-side), gram-hash join of occurrences to that set,
     doc_id agg of covered positions; the rebuild is a map-side
     doc_id join. Covered positions per doc are <= token count, so
-    the collect_set state is bounded by document length."""
+    the collect_set state is bounded by document length. The `grams`
+    subtree IS consumed twice (set build + probe) and deliberately
+    NOT barriered: grams is LARGER than the corpus (one row per
+    n-gram position), so a materialize_barrier would trade a cheap
+    map-only re-derivation (tokenize + md5 inside the scan stage)
+    for writing-and-rereading a corpus-multiple to disk — the
+    opposite trade to LSH's barrier, whose candidate set is tiny.
+    Same choice as substring_dup_stats."""
     tokens = ws_tokens(F.col("text"))
     d = docs.select("doc_id", tokens.alias("t"))
     grams = (

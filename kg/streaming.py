@@ -627,37 +627,67 @@ def _batch_projection(df: DataFrame) -> DataFrame:
     )
 
 
+def _current_version_path(target_root: str) -> str | None:
+    """The version directory the CURRENT pointer names, or None."""
+    ptr = os.path.join(target_root, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return os.path.join(target_root, name) if name else None
+
+
+def read_upsert_target(spark: SparkSession, target_root: str) -> DataFrame:
+    """Read the committed state of a versioned upsert target."""
+    cur = _current_version_path(target_root)
+    if cur is None:
+        raise FileNotFoundError(f"no CURRENT version under {target_root}")
+    return spark.read.parquet(cur)
+
+
 def upsert_batch_into_parquet(
-    batch: DataFrame, batch_id: int, target_dir: str, log_dir: str
+    batch: DataFrame, batch_id: int, target_root: str, log_dir: str
 ) -> bool:
     """One foreachBatch invocation: idempotently MERGE a micro-batch
-    into a parquet target. Returns False (skipped) if this batch_id is
-    already logged — the exactly-once recipe for a sink without
-    transactional MERGE: (1) skip logged batch ids (replays after a
-    checkpoint-recovery re-deliver the last batch), (2) the merge is
-    itself idempotent (total-order SCD-1), so even a crash between
-    target swap and log write cannot corrupt the target. Writes the
-    new target to a fresh directory then atomically renames over the
-    old one (Spark cannot overwrite a path it is reading)."""
+    into a parquet target. Returns False (skipped) if this batch_id
+    is already logged. Exactly-once recipe for a sink without
+    transactional MERGE, crash-safe at EVERY step via versioned
+    directories + an atomically replaced CURRENT pointer (the
+    manifest-pointer idea table formats like Iceberg use): the new
+    version is fully written BEFORE the pointer moves (os.replace is
+    atomic), so a crash anywhere leaves CURRENT naming a complete
+    older version — never a half-written or deleted target (a naive
+    rmtree-then-rename swap has a window where the target is GONE
+    and a restart would rebuild from the redelivered batch alone).
+    Replays after checkpoint recovery hit (1) the batch-id log and
+    are skipped, and (2) even without the log entry — the
+    crash-between-pointer-move-and-log case — the merge re-applies
+    as a no-op because total-order SCD-1 is idempotent. Orphan
+    version dirs from crashed attempts are garbage with unique
+    names, never read (CURRENT never pointed at them)."""
     import shutil
 
     marker = os.path.join(log_dir, f"{batch_id}.done")
     if os.path.exists(marker):
         return False
+    os.makedirs(target_root, exist_ok=True)
     spark = batch.sparkSession
     projected = _batch_projection(batch)
-    if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-        current = spark.read.parquet(target_dir)
-    else:
-        current = projected.limit(0)
+    cur = _current_version_path(target_root)
+    current = spark.read.parquet(cur) if cur else projected.limit(0)
     merged = _scd1_merge(current, projected)
-    tmp = f"{target_dir}__b{batch_id}_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.rename(tmp, target_dir)
+    vname = f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(os.path.join(target_root, vname))
+    tmp_ptr = os.path.join(target_root, f"CURRENT.tmp{uuid.uuid4().hex[:8]}")
+    with open(tmp_ptr, "w") as f:
+        f.write(vname)
+    os.replace(tmp_ptr, os.path.join(target_root, "CURRENT"))
+    # the superseded version is garbage once the pointer moved; a
+    # crash before this cleanup leaves only an unreferenced dir
+    if cur:
+        shutil.rmtree(cur, ignore_errors=True)
     with open(marker, "w") as f:
-        f.write("done")
+        f.write(vname)
     return True
 
 
@@ -671,19 +701,19 @@ def stream_upsert_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     would partition by a key prefix and rewrite only touched
     partitions (same code per partition)."""
     ev = events_timeordered_stream(spark, sf_dir)
-    target_dir = _scratch("upsert_tgt_")[:-1] + "t"  # non-existent yet
+    target_root = _scratch("upsert_tgt_")
     log_dir = _scratch("upsert_log_")
 
     q = (
         ev.writeStream.foreachBatch(
-            lambda b, bid: upsert_batch_into_parquet(b, bid, target_dir, log_dir)
+            lambda b, bid: upsert_batch_into_parquet(b, bid, target_root, log_dir)
         )
         .option("checkpointLocation", _scratch("ck_upsert_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target_dir).select(
+    return read_upsert_target(spark, target_root).select(
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -783,12 +813,17 @@ def stream_neardup_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     into it (or a bloom over bucket keys prefilters, q_bloom_prune
     shape); the fixture-sized index here takes the broadcast path."""
     from kg.dedup import minhash_band_buckets_maponly
+    from kg.io import materialize_barrier
 
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    idx = (
+    # barrier the index: the static side of a stream-static join is
+    # re-planned and re-executed EVERY micro-batch, so an unbarriered
+    # index would re-hash the whole corpus once per batch (4x here)
+    idx = materialize_barrier(
         minhash_band_buckets_maponly(corpus)
         .select("band", "bucket")
-        .distinct()
+        .distinct(),
+        "ndgate_idx_",
     )
     hits = minhash_band_buckets_maponly(
         incoming_docs_stream(spark, sf_dir)

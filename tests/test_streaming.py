@@ -187,7 +187,11 @@ def test_foreachbatch_upsert_idempotent_replay(spark, tmp_path):
 
     import pyspark.sql.functions as F
 
-    from kg.streaming import _batch_projection, upsert_batch_into_parquet
+    from kg.streaming import (
+        _batch_projection,
+        read_upsert_target,
+        upsert_batch_into_parquet,
+    )
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
     b0 = ev.filter(F.col("event_id") % 2 == 0)
@@ -198,7 +202,7 @@ def test_foreachbatch_upsert_idempotent_replay(spark, tmp_path):
 
     def checksum():
         return (
-            spark.read.parquet(tgt)
+            read_upsert_target(spark, tgt)
             .agg(
                 F.bit_xor(
                     F.xxhash64("user_id", "event_type", "ts", "value_c", "event_id")
@@ -228,12 +232,19 @@ def test_foreachbatch_upsert_idempotent_replay(spark, tmp_path):
     expect = _scd1_merge(
         _batch_projection(b0), _batch_projection(b1)
     )
-    got = spark.read.parquet(tgt)
+    got = read_upsert_target(spark, tgt)
     assert got.count() == expect.count()
     assert (
         got.exceptAll(expect).count() == 0
         and expect.exceptAll(got).count() == 0
     )
+
+    # crash-window safety: a fully-written but UNCOMMITTED version
+    # (crash before the pointer moved) must be invisible — CURRENT
+    # still names a complete committed state
+    orphan = tmp_path / "tgt" / "v99_deadbeef"
+    _batch_projection(b0.limit(1)).write.parquet(str(orphan))
+    assert checksum() == after_both
 
 
 def test_neardup_gate_flags_exact_copies(spark):
