@@ -2278,6 +2278,66 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# global argmax with ties (TPC-H Q15 shape)
+# =====================================================================
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_rev_c) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_c
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+    WHERE r.total_rev_c = mx.m
+    """,
+    extra=True,  # local-only: global argmax-with-ties surface
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose quarterly
+    revenue EQUALS the global maximum — argmax with ties, the shape
+    the reference writes as a view + `WHERE total = (SELECT MAX ...)`.
+    NOT a sort-limit: LIMIT 1 silently drops ties and a global sort
+    pays a full exchange for one row. Instead the per-supplier
+    aggregate (one supplier-keyed shuffle with map-side partials —
+    supplier cardinality, not fact cardinality) feeds a ONE-ROW max
+    aggregate broadcast back over itself (BroadcastNestedLoopJoin on
+    a single row, the q22 trick), keeping every tied supplier.
+    Revenue is exact integer price_c x (100 - disc_c), so the
+    equality compare has no float boundary; the supplier dim
+    broadcasts for the name join."""
+    rev = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("total_rev_c")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("m"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+    )
+
+
+# =====================================================================
 # bloom-filter runtime join pruning
 # =====================================================================
 

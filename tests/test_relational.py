@@ -95,3 +95,36 @@ def test_q21_decorrelation_hand_case(spark, tmp_path):
         for r in q21_waiting_supplier(spark, str(tmp_path)).collect()
     }
     assert got == {"Supp#1": 2, "Supp#3": 1}
+
+
+def test_q15_argmax_keeps_ties(spark, tmp_path):
+    """Two suppliers tied at the global max revenue must BOTH come
+    back — the semantics that a sort-limit rewrite silently breaks."""
+    from datetime import datetime
+
+    from kg.relational import q15_top_supplier
+
+    in_win = datetime(1996, 2, 1)
+    li = [
+        # suppliers 1 and 2 tie at 30.00 revenue; supplier 3 trails
+        (1, 10.0, 0.0, in_win), (1, 20.0, 0.0, in_win),
+        (2, 30.0, 0.0, in_win),
+        (3, 5.0, 0.0, in_win),
+        # out-of-window row that would break the tie if not filtered
+        (3, 99.0, 0.0, datetime(1997, 1, 1)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_suppkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "Supp#1"), (2, "Supp#2"), (3, "Supp#3")],
+        "s_suppkey long, s_name string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+
+    got = {
+        (r["s_name"], r["total_rev_c"])
+        for r in q15_top_supplier(spark, str(tmp_path)).collect()
+    }
+    assert got == {("Supp#1", 300000), ("Supp#2", 300000)}
