@@ -15,6 +15,7 @@ when run through the Orchestrator):
 from __future__ import annotations
 
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -335,6 +336,134 @@ def fused_triples_raw(
     )
 
 
+# ------------------------------------------- one-crossing turbo path
+
+# Java \s == [ \t\n\x0B\f\r] (NOT Python's unicode \s) — these are the
+# Catalyst SENTENCE_BOUNDARY / WORD_BOUNDARY regexes with the
+# whitespace class written out so Python re matches Java semantics
+# char-for-char (the same divergence class as kg.relational.WS_REGEX).
+_PY_SENT_SPLIT = re.compile(r"(?<=[.!?])[ \t\n\x0B\f\r]+|\n+")
+_PY_WORD_SPLIT = re.compile(r"[ \t\n\x0B\f\r]+")
+
+_MATCH_SCHEMA = (
+    "url string, sent_id int, subj_surface string, obj_surface string, "
+    "pred string, confidence double"
+)
+
+
+def split_sentences_py(text: str) -> list[tuple[int, list[str]]]:
+    """Python twin of stage_sentences for ONE document: returns
+    (sent_id, words) pairs. sent_id is the posexplode POSITION in the
+    split array (empties counted, then dropped), words the \\s+ split
+    of the space-trimmed sentence — equality with the Catalyst path is
+    gated in tests/test_pipeline.py."""
+    out = []
+    for sid, raw in enumerate(_PY_SENT_SPLIT.split(text)):
+        sent = raw.strip(" ")  # F.trim strips 0x20 only
+        if not sent:
+            continue
+        out.append((sid, _PY_WORD_SPLIT.split(sent)))
+    return out
+
+
+def _matched_pairs_gen(batches):
+    """mapInPandas kernel: html -> rule-matched co-sentence span pairs
+    in ONE JVM<->Python crossing (guide §8: every decision downstream
+    of here needs only these few bytes per match — the page text,
+    token arrays and unmatched pair space never cross back to the
+    JVM, never shuffle). Per-worker state (scorer weights, word-tag
+    memo) initializes once (guide §4.5)."""
+    import pandas as pd
+
+    from kg.extract import extract_text_auto
+    from kg.ner.bio import decode_bio
+    from kg.ner.model import _Model
+    from kg.relations import CONFIDENCE_THRESHOLD, RELATION_RULES
+
+    model = _Model.get()
+    rules = {t: (p, c) for t, p, c in RELATION_RULES}
+    for b in batches:
+        url_o: list[str] = []
+        sid_o: list[int] = []
+        ss_o: list[str] = []
+        os_o: list[str] = []
+        pred_o: list[str] = []
+        conf_o: list[float] = []
+        for url, html in zip(b["url"], b["html"]):
+            text = extract_text_auto(html)
+            for sid, words in split_sentences_py(text):
+                tags = model.tags_of([words])[0]
+                spans = decode_bio(tags)
+                if len(spans) < 2:
+                    continue
+                for i in range(len(spans) - 1):
+                    _t1, b1, e1 = spans[i]
+                    for j in range(i + 1, len(spans)):
+                        _t2, b2, e2 = spans[j]
+                        between = (
+                            " ".join(words[e1:b2]).lower() if b2 > e1 else ""
+                        )
+                        pc = rules.get(between)
+                        if pc is None or pc[1] < CONFIDENCE_THRESHOLD:
+                            continue
+                        url_o.append(url)
+                        sid_o.append(sid)
+                        ss_o.append(" ".join(words[b1:e1]))
+                        os_o.append(" ".join(words[b2:e2]))
+                        pred_o.append(pc[0])
+                        conf_o.append(pc[1])
+        yield pd.DataFrame(
+            {
+                "url": url_o,
+                "sent_id": sid_o,
+                "subj_surface": ss_o,
+                "obj_surface": os_o,
+                "pred": pred_o,
+                "confidence": conf_o,
+            }
+        )
+
+
+def turbo_triples_raw(
+    pages: DataFrame, aliases: DataFrame, entity_vecs: DataFrame
+) -> DataFrame:
+    """triples_raw computed with ONE Arrow crossing over (url, html)
+    and two dictionary broadcast joins — set-identical to the staged
+    K1..K6 composition AND to fused_triples_raw (both asserted in
+    tests/test_pipeline.py): same extraction kernel (byte-identical
+    fast path), same sentence/word splits (Python twins of the
+    Catalyst regexes), same tags (word-memo == forward_tags), same
+    i<j span pairing, same rule table, same inner verdict joins.
+
+    Physically this is the guide-§8 shape: the corpus crosses the
+    Python boundary once as (url, html), only RULE-MATCHED pairs (a
+    tiny fraction of sentences) come back, and nothing corpus-sized
+    is ever shuffled or re-serialized — the staged path's words-array
+    Arrow round trip, mention explode and pair-generation exchange
+    all disappear."""
+    from kg.link import alias_verdicts_local
+
+    matched = pages.select("url", "html").mapInPandas(
+        _matched_pairs_gen, _MATCH_SCHEMA
+    )
+    verdict = alias_verdicts_local(aliases, entity_vecs, k=1)
+    sv = verdict.select(
+        F.col("alias").alias("s_alias"), F.col("entity_id").alias("subj_entity")
+    )
+    ov = verdict.select(
+        F.col("alias").alias("o_alias"), F.col("entity_id").alias("obj_entity")
+    )
+    return (
+        matched.join(
+            F.broadcast(sv), F.lower(F.col("subj_surface")) == F.col("s_alias")
+        )
+        .join(F.broadcast(ov), F.lower(F.col("obj_surface")) == F.col("o_alias"))
+        .select(
+            "subj_entity", "pred", "obj_entity", "url", "sent_id", "confidence"
+        )
+    )
+
+
 # ------------------------------------------------------------ pipeline
 
 
@@ -396,16 +525,26 @@ def run_pipeline(
             "_orchestrator": orch,
         }
     else:
-        # single-path DAG: carry_words mentions + grouped pair gen
-        # mean every stage has exactly one consumer — no persists, no
-        # recompute, one pass over the corpus
+        # single-path lazy DAG. Stage tables keep their K1..K6 plans
+        # (each is its own lazy consumer — kg_mentions/kg_linked/...
+        # execute exactly the staged operator chain), while `triples`
+        # — the one output the throughput path actually materializes —
+        # takes the one-Arrow-crossing turbo plan (r7, guide §8):
+        # set-identical to stage_triples(stage_triples_raw(...), ...)
+        # by the equivalence gates in tests/test_pipeline.py, but with
+        # no words-array round trip, no mention explode and no
+        # corpus-sized pair-generation exchange. The checkpoint_root
+        # branch above still materializes every staged table (the
+        # resumable production layout).
         text = stage_extract(pages)
         sents = stage_sentences(text)
         mentions = stage_mentions(sents)
         linked = stage_linked(mentions, aliases, entity_vecs)
         traw = stage_triples_raw(linked, sents)
         comps = components if components is not None else stage_components(aliases)
-        triples = stage_triples(traw, comps)
+        triples = stage_triples(
+            turbo_triples_raw(pages, aliases, entity_vecs), comps
+        )
         result = {
             "text_extracted": text,
             "sentences": sents,

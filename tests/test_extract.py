@@ -62,6 +62,62 @@ def test_spark_udf_byte_identity(spark, clean_pages):
     assert bad == 0
 
 
+# fast-path-specific adversarial corpus: every bail condition plus
+# near-miss inputs that must take the fast path and still match
+FAST_EDGE = [
+    b"<p title='x>y'>quoted gt</p>",           # '>' inside quoted attr
+    b"<![CDATA[zz]]><p>q</p>",                 # CDATA section
+    b"<?pi ?><div>d</div>",                    # processing instruction
+    b"<SCRIPT>x</SCRIPT><p>y</p>",             # case-variant cdata open
+    b"<script>a</SCRIPT><p>m</p>",             # case-variant cdata close
+    b"<script>x</script >y",                   # spaced close
+    b"<style >odd space</style><p>z</p>",
+    b"a < b > c",                              # stray '<' in data
+    b"< p>space before name</p>",
+    b"<p foo='</p>'>end tag inside attr</p>",
+    b"<p></P>case-variant close</p>",
+    b"<p8>digit tag</p8>",
+    b"<h2>t</h2 >space in end tag</h2>",
+    b"<p\n  class='x'>newline in attrs</p>",
+    b"<p  class='a'   id=b >unquoted attr</p>",
+    b"<li>one<li>two</ul>",
+    b"<script src='a.js'>b</script><p>k</p>",
+    b"<script></script><p>empty cdata</p>",
+    b"<p><b>inline</b> kept</p>",
+    b"<div>n&eacute;e &notareal; &#65; &#x41; &amp</div>",
+]
+
+
+def test_fast_path_identical_or_falls_back():
+    """extract_text_fast either matches the frozen spec byte-for-byte
+    or returns None (never a different answer); extract_text_auto is
+    therefore always spec-identical."""
+    from kg.extract import extract_text_auto, extract_text_fast
+
+    for html in ADVERSARIAL + FAST_EDGE:
+        fast = extract_text_fast(html)
+        ref = extract_text(html)
+        if fast is not None:
+            assert fast == ref, html
+        assert extract_text_auto(html) == ref, html
+
+
+def test_fast_path_covers_fixture(spark, clean_pages):
+    """On fixture pages the fast path must actually engage (no silent
+    100%-fallback that would erase the optimization) AND match."""
+    from kg.extract import extract_text_fast
+
+    rows = clean_pages.collect()
+    fallbacks = 0
+    for r in rows:
+        fast = extract_text_fast(r["html"])
+        if fast is None:
+            fallbacks += 1
+        else:
+            assert fast == r["text"], r["url"]
+    assert fallbacks == 0
+
+
 def test_random_structure_byte_identity():
     """Property: for randomly nested block structures with known
     expected text (built alongside the html), extraction is
@@ -95,7 +151,10 @@ def test_random_structure_byte_identity():
                 blocks.append(expected)
         return "".join(html), blocks
 
+    from kg.extract import extract_text_auto
+
     for _ in range(200):
         h, blocks = build()
         want = "\n".join(b for b in blocks if b)
         assert extract_text(h.encode()) == want, h
+        assert extract_text_auto(h.encode()) == want, h

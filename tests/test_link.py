@@ -94,6 +94,28 @@ def test_dictionary_path_equals_generic_rerank(spark):
     assert a.count() == b.count()
 
 
+def test_local_verdict_equals_distributed(spark):
+    """r7: the driver-computed verdict (turbo-path broadcast side)
+    must match the distributed rank_alias_verdicts row-for-row at
+    several k (same float32 products, same left-fold accumulation,
+    same tie-break)."""
+    from kg import fixtures as FX
+    from kg.link import alias_verdicts_local, rank_alias_verdicts
+
+    aliases, evecs = FX.aliases_df(spark), FX.entity_vecs_df(spark)
+    for k in (1, 2, 3):
+        dist = set(
+            map(
+                tuple,
+                rank_alias_verdicts(aliases, evecs, k)
+                .select("alias", "entity_id")
+                .collect(),
+            )
+        )
+        local = set(map(tuple, alias_verdicts_local(aliases, evecs, k).collect()))
+        assert dist == local, f"k={k}"
+
+
 def test_broadcast_join_in_plan(spark):
     """K3's broadcast mandate (BASELINE.json:6) shows in the plan."""
     m = _mentions_df(spark, ["Novari Labs"])

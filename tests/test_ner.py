@@ -44,6 +44,33 @@ def test_scorer_tags_match_intended_labels():
     assert not mismatches, mismatches[:10]
 
 
+def test_word_tag_memo_equals_forward_tags():
+    """r7: tags_of (the word-memoized fast path behind the fused
+    span UDF) must reproduce forward_tags exactly — gazetteer words,
+    filler words, corrupted/OOV words, empty sentences."""
+    import random
+
+    m = _Model.get()
+    vocab = list(V.word_label_map()) + ["zzqx", "Unknown9", "x", ""]
+    rng = random.Random(5)
+
+    def corrupt(w):
+        if not w:
+            return w
+        i = rng.randrange(len(w))
+        return w[:i] + chr(97 + rng.randrange(26)) + w[i + 1 :]
+
+    sents = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        s = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:
+            s = [corrupt(w) if rng.random() < 0.2 else w for w in s]
+        sents.append(s)
+    sents.append([])
+    assert m.tags_of(sents) == m.forward_tags(sents)
+
+
 def test_length_sorted_micro_batches_preserve_order():
     m = _Model.get()
     sents = [

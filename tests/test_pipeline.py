@@ -117,6 +117,61 @@ def test_salting_preserves_multiset(spark, clean_pages):
     assert n_parts >= 4, f"hot host only spread over {n_parts} partitions"
 
 
+def test_turbo_triples_equal_staged_composition(spark):
+    """r7: the one-crossing turbo plan behind the lazy path's
+    `triples` must produce exactly the staged K1..K8 composition's
+    rows — on clean AND noise-injected pages (corrupted surfaces,
+    shifted spans)."""
+    from kg.pipeline import (
+        stage_components,
+        stage_extract,
+        stage_linked,
+        stage_mentions,
+        stage_sentences,
+        stage_triples,
+        stage_triples_raw,
+        turbo_triples_raw,
+    )
+
+    aliases, evecs = FX.aliases_df(spark), FX.entity_vecs_df(spark)
+    comps = stage_components(aliases)
+    for noise in (0.0, 0.05):
+        pages = FX.gen_pages(spark, 150, seed=11, noise=noise)
+        sents = stage_sentences(stage_extract(pages))
+        staged = stage_triples(
+            stage_triples_raw(
+                stage_linked(stage_mentions(sents), aliases, evecs), sents
+            ),
+            comps,
+        )
+        turbo = stage_triples(turbo_triples_raw(pages, aliases, evecs), comps)
+        a = set(map(tuple, staged.collect()))
+        b = set(map(tuple, turbo.collect()))
+        assert a == b, f"noise={noise}: {len(a)} staged vs {len(b)} turbo"
+
+
+def test_python_split_twins_match_catalyst(spark):
+    """r7: split_sentences_py (used inside the turbo UDF) must equal
+    the Catalyst sentence/word split per (url, sent_id) — including
+    posexplode position semantics — on clean and noisy text."""
+    from kg.pipeline import split_sentences_py, stage_extract, stage_sentences
+
+    for noise in (0.0, 0.05):
+        pages = FX.gen_pages(spark, 120, seed=23, noise=noise)
+        text = stage_extract(pages)
+        want = {
+            (r["url"], r["sent_id"]): list(r["words"])
+            for r in stage_sentences(text)
+            .select("url", "sent_id", "words")
+            .collect()
+        }
+        got = {}
+        for r in text.select("url", "text").collect():
+            for sid, words in split_sentences_py(r["text"]):
+                got[(r["url"], sid)] = words
+        assert got == want
+
+
 def test_fused_path_equals_staged(spark, clean_pages):
     """The zero-exchange fused plan must produce exactly the staged
     path's triples (inner verdict joins commute with pair formation)."""
