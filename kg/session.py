@@ -86,7 +86,18 @@ def build_session(
 # (16m there means 8x the tasks for zero benefit — the r2 cold-bench
 # regression). A real cluster sizes this per-source to keep splits
 # >= 2-3x total cores.
-PIPELINE_SCAN_CONF = {"spark.sql.files.maxPartitionBytes": "16m"}
+PIPELINE_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": "16m",
+    # r7: the bench fixture is many ~200 KB part files; the default
+    # 4 MB open-cost charge packs ONE file per split (256 tasks of
+    # ~80 ms Python each — per-task overhead was ~30% of the turbo
+    # stage). 1 MB packs files up to the bytes-per-core floor instead:
+    # measured 64 -> 32 splits and 1.75 -> 1.23 s for the matched-pair
+    # stage at 200k pages. Scale-safe: the maxSplitBytes floor
+    # (total/cores) keeps parallelism >= cores at any input size, and
+    # at real multi-GB file sizes the open-cost term is irrelevant.
+    "spark.sql.files.openCostInBytes": "1m",
+}
 
 
 class scoped_conf:

@@ -671,6 +671,10 @@ def upsert_batch_into_parquet(
     if os.path.exists(marker):
         return False
     os.makedirs(target_root, exist_ok=True)
+    # r7 (ADVICE r6): the marker write below assumed the caller
+    # pre-created log_dir — a missing dir turned a committed merge
+    # into a FileNotFoundError after the version swap
+    os.makedirs(log_dir, exist_ok=True)
     spark = batch.sparkSession
     projected = _batch_projection(batch)
     cur = _current_version_path(target_root)

@@ -265,9 +265,14 @@ def test_neardup_gate_flags_exact_copies(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
 
     # map-only bands == batch-path bands (reconstructed from the
-    # aggregated neutral signatures with the same band key)
+    # aggregated neutral signatures with the same band key). Scope
+    # the equality to SHINGLED docs (>= 3 tokens): the signature UDF
+    # emits a [P]*k sentinel for shorter docs while the map-only form
+    # emits no bands for them — both gate-consistent, but the raw set
+    # equality would be fixture-fragile (ADVICE r6).
     rpb = 32 // 8
-    sigs = minhash_signatures_udf(docs, 3, 32, 42, neutral=True)
+    shingled = docs.filter(F.size(ws_tokens(F.col("text"))) >= 3)
+    sigs = minhash_signatures_udf(shingled, 3, 32, 42, neutral=True)
     batch_bands = set()
     for r in sigs.collect():
         for bi in range(8):
