@@ -102,33 +102,6 @@ def materialize_barrier(df: DataFrame, prefix: str = "barrier_") -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Round-robin repartition a NARROW input whose scan yields fewer
-    partitions than the cluster has cores, so a CPU-heavy map side
-    (per-token hashing, Arrow UDFs) engages every core instead of one.
-
-    This is the guide §2.5 "input skew: one huge unsplittable file →
-    repartition immediately after the read" fix: the fixture tables
-    are single-row-group parquet files, so Spark plans ONE scan task
-    regardless of maxPartitionBytes, and every downstream narrow
-    operator inherits that 1-way parallelism until the first exchange
-    (measured: the whole minhash shingle+signature stage ran on 1 of
-    32 cores). The repartition shuffles only the small input bytes
-    once; when the scan is already at least ``factor *
-    defaultParallelism`` partitions (any real multi-split source —
-    i.e. every at-scale deployment), it is a no-op, so the exchange
-    never appears where the input is genuinely parallel.
-
-    Uses an explicit numPartitions so AQE's advisory-size coalescing
-    cannot collapse the tiny shuffle back to one partition
-    (REPARTITION_BY_NUM origin is exempt from coalescing)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
-
-
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence check through the Hadoop FS API —
     works for file://, hdfs://, s3a:// alike (os.path would silently
