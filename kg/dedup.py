@@ -330,6 +330,7 @@ def minhash_lsh_pairs(
     # near-dup is defined over docs with >= n tokens; without this
     # filter every short doc shares the [P]*k sentinel signature and
     # they would all pair with NaN jaccard (NaN >= t is true in Spark)
+    docs_raw = docs
     docs = docs.filter(F.size(ws_tokens(F.col("text"))) >= n)
     rows_per_band = k // bands
     sigs = minhash_signatures_udf(docs, n, k, seed, neutral=neutral)
@@ -427,9 +428,18 @@ def minhash_lsh_pairs(
     # action per query run (the expensive signature/band subtree
     # stays behind the candidates barrier above, so nothing heavy is
     # duplicated).
-    shsets = hasher(docs.join(cand_docs, "doc_id", "left_semi"), n).select(
-        "doc_id", F.array_distinct("hs").alias("shset")
-    )
+    # semi-join the RAW docs first, then re-apply the token-count
+    # filter to the ~candidate-sized survivors: with the filter below
+    # the join (the old order) its size(ws_tokens(text)) predicate
+    # tokenized the WHOLE corpus inside each of the two broadcast
+    # builds. Candidates only ever reference filtered docs (their
+    # signatures exist), so the result is unchanged.
+    shsets = hasher(
+        docs_raw.join(cand_docs, "doc_id", "left_semi").filter(
+            F.size(ws_tokens(F.col("text"))) >= n
+        ),
+        n,
+    ).select("doc_id", F.array_distinct("hs").alias("shset"))
     a = shsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     b = shsets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     common = F.size(F.array_intersect("sa", "sb"))

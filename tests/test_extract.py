@@ -85,6 +85,15 @@ FAST_EDGE = [
     b"<script></script><p>empty cdata</p>",
     b"<p><b>inline</b> kept</p>",
     b"<div>n&eacute;e &notareal; &#65; &#x41; &amp</div>",
+    # self-closing / slash-in-tag shapes (start vs startend must agree)
+    b"<p / >x</p>",
+    b"<p/ >y</p>",
+    b"<br /extra>z",
+    b"<p a=/>w</p>",
+    b"<p a=b/>v</p>",
+    b"<p //>s</p>",
+    b"<script/>x</script>",
+    b"<noscript/>vis</noscript>",
 ]
 
 
