@@ -178,7 +178,18 @@ def extract_text_fast(html: bytes | str) -> str | None:
                 if b:
                     blocks.append(b)
             continue
+        if tag_l in SKIP_TAGS and "/" in tail:
+            # html.parser's start-vs-startend call for a '/' among the
+            # attributes is attr-parser-dependent (<script /> is a
+            # startendtag, <script / > is a START tag that enters
+            # CDATA) and the difference IS observable for skip tags —
+            # defer to the spec parser rather than re-implement
+            # attrfind_tolerant.
+            return None
         if body.rstrip().endswith("/"):  # startendtag (<br/>)
+            # for non-skip tags the start/startend distinction is NOT
+            # observable (both flush iff block; end tags unaffected),
+            # so the suffix heuristic is safe here
             if tag_l in BLOCK_TAGS and buf:
                 b = " ".join("".join(buf).split())
                 buf.clear()

@@ -94,6 +94,17 @@ FAST_EDGE = [
     b"<p //>s</p>",
     b"<script/>x</script>",
     b"<noscript/>vis</noscript>",
+    # skip-tag slash ambiguity (start-vs-startend IS observable here;
+    # the fast path must defer): html.parser enters CDATA for
+    # '<script / >' but not for '<script />'
+    b"<script / >hidden</script><p>after</p>",
+    b"<script/ >hidden</script><p>after</p>",
+    b"<script />hidden</script><p>after</p>",
+    b"<style / >p{}</style><p>vis</p>",
+    b"<noscript / >mid</noscript><p>end</p>",
+    b"<noscript a=/>x</noscript><p>tail</p>",
+    b"<template/ >t</template>ok",
+    b"<script src='/a.js'>b</script><p>k</p>",
 ]
 
 
