@@ -138,6 +138,63 @@ def test_fast_path_covers_fixture(spark, clean_pages):
     assert fallbacks == 0
 
 
+def test_fast_path_differential_fuzz():
+    """Differential fuzz: on random tag soup the fast scanner must
+    equal the frozen spec or bail — two generators, one mostly-clean
+    (so the fast path actually executes) and one hostile (every bail
+    class mixed with data)."""
+    import random
+
+    from kg.extract import extract_text_fast
+
+    def soup(rng, hostile):
+        tags = ["p", "div", "span", "script", "style", "noscript",
+                "template", "br", "b"]
+        if hostile:
+            tags += ["SCRIPT", "P"]
+        clean_attrs = ["", " a='1'", ' b="2"', " c=d"]
+        bad_attrs = [" /", "/", " a='>'", ' q="</p>"', " a='x", " <"]
+        bits, stack = [], []
+        for _ in range(rng.randint(1, 25)):
+            r = rng.random()
+            if r < 0.4:
+                bits.append(rng.choice(
+                    ["txt", "a &amp; b", "x  y", "&#65;", "w&nbsp;z"]
+                    + (["a < b", "tail &amp", "<", ">", "&bogus;"]
+                       if hostile else [])))
+            elif r < 0.65:
+                t = rng.choice(tags)
+                at = rng.choice(clean_attrs + (bad_attrs if hostile else []))
+                bits.append(f"<{t}{at}>")
+                if t == "script":
+                    bits.append("var x='1';</script>")
+                elif t == "style":
+                    bits.append("p{}</style>")
+                else:
+                    stack.append(t)
+            elif r < 0.85 and stack:
+                bits.append(f"</{stack.pop()}>")
+            elif hostile and r < 0.93:
+                bits.append(rng.choice(
+                    ["<!-- c -->", "<!doctype html>", "<![CDATA[z]]>",
+                     "<?pi?>", "<!-- unclosed", "</ script>", "<>"]))
+            else:
+                bits.append(rng.choice(["<br/>", "<p/>", "<!-- ok -->"]))
+        return "".join(bits)
+
+    for hostile, n in ((False, 3000), (True, 3000)):
+        rng = random.Random(1234 + hostile)
+        fast_runs = 0
+        for _ in range(n):
+            h = soup(rng, hostile)
+            f = extract_text_fast(h)
+            if f is not None:
+                fast_runs += 1
+                assert f == extract_text(h), h
+        if not hostile:  # the clean generator must exercise the fast path
+            assert fast_runs > n // 2, f"fast path ran only {fast_runs}/{n}"
+
+
 def test_random_structure_byte_identity():
     """Property: for randomly nested block structures with known
     expected text (built alongside the html), extraction is
