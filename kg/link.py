@@ -139,7 +139,18 @@ def alias_verdicts_local(
         for cos, eid in cands[:k]:
             out.append((a, eid))
     spark = aliases.sparkSession
-    return spark.createDataFrame(out, "alias string, entity_id long")
+    # pandas, not a row list: the pandas+Arrow createDataFrame path
+    # plans a LocalTableScan, so the two downstream broadcast builds
+    # (sv/ov in turbo_triples_raw) are job-free — a row list plans an
+    # ExistingRDD whose every broadcast build launches a Python-worker
+    # deserialization job (same fix as fixtures.entity_vecs_df).
+    pdf = pd.DataFrame(
+        {
+            "alias": pd.Series([a for a, _ in out], dtype=object),
+            "entity_id": pd.Series([e for _, e in out], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="alias string, entity_id long")
 
 
 def link_mentions(

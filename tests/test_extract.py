@@ -105,6 +105,13 @@ FAST_EDGE = [
     b"<noscript a=/>x</noscript><p>tail</p>",
     b"<template/ >t</template>ok",
     b"<script src='/a.js'>b</script><p>k</p>",
+    # stray '<' inside a SKIPPED data segment can hide a real tag from
+    # the naive tokenizer (r7 50k-fuzz find — the first shape made the
+    # pre-fix scanner emit 'y\nend' where the spec says 'end'): the
+    # fast path must defer, not silently drop the segment
+    b'<noscript>x<style q="</p>">p{}</style>y</noscript><p>end</p>',
+    b"<noscript>a < b</noscript><p>end</p>",
+    b'<template>x<p q="</p>">y</template><p>end</p>',
 ]
 
 
