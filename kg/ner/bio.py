@@ -36,18 +36,42 @@ SPAN_SCHEMA = ArrayType(
 )
 
 
+# tag string -> (is_B, is_I, type) parsed once per distinct tag: the
+# label vocabulary is tiny and fixed, so the two startswith probes +
+# slice per TOKEN collapse to one dict hit (the decode loop is on the
+# turbo pipeline kernel's per-sentence path). Bounded for safety on
+# open vocabularies; a miss just re-parses.
+_TAG_PARSE: dict[str, tuple[bool, bool, str | None]] = {}
+_TAG_PARSE_MAX = 1 << 16
+
+
+def _parse_tag(tag: str) -> tuple[bool, bool, str | None]:
+    v = _TAG_PARSE.get(tag)
+    if v is None:
+        if tag.startswith("B-"):
+            v = (True, False, tag[2:])
+        elif tag.startswith("I-"):
+            v = (False, True, tag[2:])
+        else:  # O (or anything else)
+            v = (False, False, None)
+        if len(_TAG_PARSE) < _TAG_PARSE_MAX:
+            _TAG_PARSE[tag] = v
+    return v
+
+
 def decode_bio(tags: list[str]) -> list[tuple[str, int, int]]:
     """Pure kernel: BIO tags -> [(type, begin, end)] with end exclusive."""
     spans: list[tuple[str, int, int]] = []
     open_type: str | None = None
     begin = 0
+    parse = _parse_tag
     for i, tag in enumerate(tags):
-        if tag.startswith("B-"):
+        is_b, is_i, t = parse(tag)
+        if is_b:
             if open_type is not None:
                 spans.append((open_type, begin, i))
-            open_type, begin = tag[2:], i
-        elif tag.startswith("I-"):
-            t = tag[2:]
+            open_type, begin = t, i
+        elif is_i:
             if open_type != t:  # dangling I- starts a new span
                 if open_type is not None:
                     spans.append((open_type, begin, i))
